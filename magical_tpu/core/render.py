@@ -293,7 +293,7 @@ def render_frame(display, pix, scale, res: int, aa: bool):
 
 
 def to_uint8(img):
-    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return jnp.floor(jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
 
 def downsample4(img_u8):
@@ -301,7 +301,7 @@ def downsample4(img_u8):
     (benchmarks/__init__.py:162-169)."""
     h, w, c = img_u8.shape
     x = img_u8.reshape(h // 4, 4, w // 4, 4, c).astype(jnp.float32)
-    return jnp.round(x.mean((1, 3))).astype(jnp.uint8)
+    return jnp.floor(x.mean((1, 3)) + 0.5).astype(jnp.uint8)
 
 
 def render_views(state: EnvState, max_blocks: int, max_goals: int,

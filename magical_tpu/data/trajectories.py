@@ -85,7 +85,8 @@ def _resize_area(img: np.ndarray, res: int) -> np.ndarray:
     fh, fw = h // res, w // res
     assert fh * res == h and fw * res == w, (h, w, res)
     x = img.reshape(res, fh, res, fw, *img.shape[2:]).astype(np.float64)
-    return np.round(x.mean(axis=(1, 3))).astype(np.uint8)
+    # cv2 rounds half away from zero (fixed-point +0.5), not half-to-even
+    return np.floor(x.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
 
 
 def _stack_frames(frames: List[np.ndarray]) -> np.ndarray:

@@ -1,0 +1,124 @@
+"""Demo IO, offline preprocessing, and the evaluation protocol."""
+
+import os
+
+import numpy as np
+import pytest
+
+from magical_tpu.data import trajectories as T
+from magical_tpu.eval import protocol as E
+
+
+def _fake_traj(T_steps=5, res=8):
+    obs = [{'allo': np.full((res * 4, res * 4, 3), t * 10, np.uint8),
+            'ego': np.full((res * 4, res * 4, 3), t * 10 + 1, np.uint8)}
+           for t in range(T_steps + 1)]
+    return T.MAGICALTrajectory(
+        acts=np.arange(T_steps, dtype=np.int64),
+        obs=obs,
+        rews=np.zeros(T_steps),
+        infos=[{} for _ in range(T_steps)])
+
+
+def test_demo_save_load_roundtrip(tmp_path):
+    traj = _fake_traj()
+    path = os.path.join(tmp_path, 'demo-Test-0.pkl.gz')
+    T.save_demo(path, 'MoveToCorner-Demo-v0', traj, 0.5)
+    (loaded,) = list(T.load_demos([path]))
+    assert loaded['env_name'] == 'MoveToCorner-Demo-v0'
+    assert loaded['score'] == 0.5
+    np.testing.assert_array_equal(loaded['trajectory'].acts, traj.acts)
+
+
+def test_unpickler_rewrites_reference_class(tmp_path):
+    # a pickle referencing magical.saved_trajectories.MAGICALTrajectory
+    # must load as our class
+    import gzip
+    import pickle
+
+    traj = _fake_traj(2, 2)
+    path = os.path.join(tmp_path, 'ref.pkl.gz')
+    # protocol-0 pickles carry module paths as plain text: rewrite ours to
+    # the reference package path to simulate a reference-written demo
+    raw0 = pickle.dumps({'env_name': 'E-Demo-v0', 'trajectory': traj,
+                         'score': 1.0}, protocol=0)
+    patched = raw0.replace(b'magical_tpu.data.trajectories',
+                           b'magical.saved_trajectories')
+    with gzip.GzipFile(path, 'wb') as f:
+        f.write(patched)
+    (loaded,) = list(T.load_demos([path]))
+    assert isinstance(loaded['trajectory'], T.MAGICALTrajectory)
+
+
+def test_resize_area_matches_box_mean():
+    img = (np.arange(16 * 16 * 3) % 251).reshape(16, 16, 3).astype(np.uint8)
+    out = T._resize_area(img, 4)
+    manual = np.floor(
+        img.reshape(4, 4, 4, 4, 3).astype(np.float64).mean((1, 3)) + 0.5)
+    np.testing.assert_array_equal(out, manual.astype(np.uint8))
+
+
+@pytest.mark.parametrize('preproc,shape,kind', [
+    ('LoRes4E', (8, 8, 12), 'array'),
+    ('LoRes3EA', (8, 8, 12), 'array'),
+    ('LoRes4A', (8, 8, 12), 'array'),
+    ('LoResCHW4E', (12, 8, 8), 'array'),
+    ('LoResStack', (8, 8, 12), 'dict'),
+])
+def test_preprocess_demos(preproc, shape, kind):
+    # note: fake frames are 32x32 -> res must divide; override spec res via
+    # monkeypatching is avoided by using 8x downscale ratio 4
+    traj = _fake_traj(T_steps=5, res=8)
+    from magical_tpu.core import preproc as PP
+    spec = PP.PREPROCESSORS[preproc]
+    object.__setattr__(spec, 'res', 8)      # frozen dataclass override
+    try:
+        (out,) = T.preprocess_demos_with_wrapper([traj], 'E-Demo-v0',
+                                                 preproc_name=preproc)
+    finally:
+        object.__setattr__(spec, 'res', 96)
+    if kind == 'array':
+        assert out.obs.shape == (6,) + shape
+        # reset padding: first obs has all frames equal
+        first = out.obs[0]
+        if preproc == 'LoResCHW4E':
+            np.testing.assert_array_equal(first[:3], first[9:])
+        else:
+            np.testing.assert_array_equal(first[..., :3], first[..., 9:])
+    else:
+        assert out.obs['allo'].shape == (6,) + shape
+        assert out.obs['ego'].shape == (6,) + shape
+    np.testing.assert_array_equal(out.acts, traj.acts)
+
+
+def test_tconfint_matches_t_table():
+    scores = [0.0, 1.0, 0.5, 0.5, 0.5]
+    lo, hi = E.tconfint_mean(scores, 0.05)
+    # t(0.975, df=4) = 2.776445; sem = std(ddof=1)/sqrt(5)
+    sem = np.std(scores, ddof=1) / np.sqrt(5)
+    exp_lo = np.mean(scores) - 2.7764451052 * sem
+    exp_hi = np.mean(scores) + 2.7764451052 * sem
+    assert lo == pytest.approx(exp_lo, abs=1e-6)
+    assert hi == pytest.approx(exp_hi, abs=1e-6)
+
+
+def test_evaluation_protocol():
+    import magical_tpu
+    magical_tpu.register_envs()
+
+    class FakeEval(E.EvaluationProtocol):
+        run_id = 'fake-algo'
+
+        def obtain_scores(self, env_name):
+            rng = np.random.RandomState(abs(hash(env_name)) % 1000)
+            return rng.uniform(0, 1, size=self.n_rollouts).tolist()
+
+    ev = FakeEval(demo_env_name='MoveToCorner-Demo-LoRes4E-v0',
+                  n_rollouts=6)
+    frame = ev.do_eval()
+    assert len(frame) == 6      # demo + 5 test variants
+    assert list(frame['demo_env'])[0] == 'MoveToCorner-Demo-LoRes4E-v0'
+    assert (frame['ci95_lower'] <= frame['mean_score']).all()
+    assert (frame['mean_score'] <= frame['ci95_upper']).all()
+    tex = E.latexify_results(frame)
+    assert 'tabular' in tex and 'fake-algo' in tex

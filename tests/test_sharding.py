@@ -1,0 +1,51 @@
+"""Mesh/sharding plumbing: runs on whatever devices are available (a
+single TPU chip here; the driver separately dry-runs an 8-device CPU
+mesh via __graft_entry__.dryrun_multichip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magical_tpu.parallel import mesh as M
+
+
+def test_make_mesh():
+    mesh = M.make_mesh()
+    assert mesh.axis_names == ('data', 'model')
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_shard_batch_roundtrip():
+    mesh = M.make_mesh()
+    x = {'a': jnp.arange(8.0), 'b': jnp.ones((8, 3))}
+    sx = M.shard_batch(x, mesh)
+    np.testing.assert_allclose(np.asarray(sx['a']), np.arange(8.0))
+    assert sx['b'].sharding.is_fully_addressable
+
+
+def test_sharded_rollout_scores():
+    from magical_tpu.api.batched_env import BatchedEnv
+    from magical_tpu.parallel.rollout import rollout_episodes
+    env = BatchedEnv('MoveToRegion-Demo-v0', render_enabled=False)
+
+    def random_policy(obs, k):
+        return jax.random.randint(k, (4,), 0, 18)
+
+    scores = rollout_episodes(env, random_policy, jax.random.PRNGKey(0),
+                              batch_size=4)
+    scores = np.asarray(scores)
+    assert scores.shape == (4,)
+    assert np.all((scores >= 0) & (scores <= 1))
+
+
+def test_graft_entry_importable():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry', os.path.join(os.path.dirname(__file__), '..',
+                                    '__graft_entry__.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.entry)
+    assert callable(mod.dryrun_multichip)
