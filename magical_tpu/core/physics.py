@@ -170,52 +170,94 @@ def slot_geometry(state: EnvState):
 # Contact group container
 # ---------------------------------------------------------------------------
 
+def _one_hot(idx, n):
+    """Constant (K, n) one-hot scatter/gather matrix for static indices.
+
+    TPU XLA lowers vector-index scatter-adds to serialised loops; with
+    static contact->body maps we instead gather and accumulate through
+    these constant one-hot matmuls, which compile to dense (MXU/VPU)
+    contractions — the difference is ~100x in solver throughput."""
+    m = np.zeros((len(idx), n), np.float32)
+    m[np.arange(len(idx)), np.asarray(idx)] = 1.0
+    return jnp.asarray(m)
+
+
+def _gat1(S, x):
+    """Gather scalars per contact: (K,N) x (...,N) -> (...,K)."""
+    return jnp.einsum('kn,...n->...k', S, x)
+
+
+def _gat2(S, x):
+    """Gather 2-vectors per contact: (K,N) x (...,N,2) -> (...,K,2)."""
+    return jnp.einsum('kn,...nd->...kd', S, x)
+
+
+def _sca1(S, x):
+    """Accumulate scalars to bodies: (K,N) x (...,K) -> (...,N)."""
+    return jnp.einsum('kn,...k->...n', S, x)
+
+
+def _sca2(S, x):
+    """Accumulate 2-vectors to bodies: (K,N) x (...,K,2) -> (...,N,2)."""
+    return jnp.einsum('kn,...kd->...nd', S, x)
+
+
 def _prestep_contacts(points, normals, dists, valids, body_a, body_b,
                       friction, pos, inv_m, inv_i):
     """Compute per-contact solver coefficients (cpContactBufferGetArray /
     cpArbiterPreStep semantics)."""
-    pa = pos[body_a]
-    pb = pos[body_b]
+    nbp = pos.shape[-2]
+    Sa = _one_hot(body_a, nbp)
+    Sb = _one_hot(body_b, nbp)
+    pa = _gat2(Sa, pos)
+    pb = _gat2(Sb, pos)
     r1 = points - pa
     r2 = points - pb
     n = normals
+    invm_a = _gat1(Sa, inv_m)
+    invm_b = _gat1(Sb, inv_m)
+    invi_a = _gat1(Sa, inv_i)
+    invi_b = _gat1(Sb, inv_i)
 
     def k_scalar(rr1, rr2, axis):
         rcn1 = _cross(rr1, axis)
         rcn2 = _cross(rr2, axis)
-        return (inv_m[body_a] + inv_m[body_b]
-                + inv_i[body_a] * rcn1 ** 2 + inv_i[body_b] * rcn2 ** 2)
+        return (invm_a + invm_b + invi_a * rcn1 ** 2 + invi_b * rcn2 ** 2)
 
     n_mass = 1.0 / jnp.maximum(k_scalar(r1, r2, n), 1e-12)
     t_mass = 1.0 / jnp.maximum(k_scalar(r1, r2, _perp(n)), 1e-12)
     bias = -CONTACT_BIAS_COEF * jnp.minimum(
         0.0, dists + C.COLLISION_SLOP) / C.DT
     return dict(r1=r1, r2=r2, n=n, n_mass=n_mass, t_mass=t_mass, bias=bias,
-                valid=valids, u=friction, body_a=body_a, body_b=body_b)
+                valid=valids, u=friction, Sa=Sa, Sb=Sb,
+                invm_a=invm_a, invm_b=invm_b, invi_a=invi_a, invi_b=invi_b)
 
 
 def _solve_contact_group(bodies, con, acc):
     """One accumulated-impulse solve sweep over a contact group.
 
     `bodies` = (v, w, vb, wb) padded with a trailing static row;
-    `acc` = (jn, jt, jbias) accumulators for this group."""
+    `acc` = (jn, jt, jbias) accumulators.  All body gathers/accumulations
+    go through the constant one-hot matrices Sa/Sb (see _one_hot)."""
     v, w, vb, wb = bodies
     jn_acc, jt_acc, jb_acc = acc
-    ba, bb = con['body_a'], con['body_b']
+    Sa, Sb = con['Sa'], con['Sb']
     r1, r2, n = con['r1'], con['r2'], con['n']
     valid = con['valid']
+    invm_a, invm_b = con['invm_a'], con['invm_b']
+    invi_a, invi_b = con['invi_a'], con['invi_b']
 
     # --- pseudo-velocity (position correction) impulse --------------------
-    vb1 = vb[ba] + _perp(r1) * wb[ba][..., None]
-    vb2 = vb[bb] + _perp(r2) * wb[bb][..., None]
+    vb1 = _gat2(Sa, vb) + _perp(r1) * _gat1(Sa, wb)[..., None]
+    vb2 = _gat2(Sb, vb) + _perp(r2) * _gat1(Sb, wb)[..., None]
     vbn = jnp.sum((vb2 - vb1) * n, -1)
     jbn = (con['bias'] - vbn) * con['n_mass']
     jb_new = jnp.where(valid, jnp.maximum(jb_acc + jbn, 0.0), jb_acc)
     db = (jb_new - jb_acc)[..., None] * n
 
     # --- normal + friction impulse ---------------------------------------
-    vr1 = v[ba] + _perp(r1) * w[ba][..., None]
-    vr2 = v[bb] + _perp(r2) * w[bb][..., None]
+    vr1 = _gat2(Sa, v) + _perp(r1) * _gat1(Sa, w)[..., None]
+    vr2 = _gat2(Sb, v) + _perp(r2) * _gat1(Sb, w)[..., None]
     vr = vr2 - vr1
     vrn = jnp.sum(vr * n, -1)
     jn = -vrn * con['n_mass']            # bounce = 0 (elasticity 0)
@@ -228,15 +270,14 @@ def _solve_contact_group(bodies, con, acc):
     dj = (jn_new - jn_acc)[..., None] * n \
         + (jt_new - jt_acc)[..., None] * _perp(n)
 
-    inv_m, inv_i = con['inv_m'], con['inv_i']
-    v = v.at[ba].add(-dj * inv_m[ba][..., None])
-    w = w.at[ba].add(-inv_i[ba] * _cross(r1, dj))
-    v = v.at[bb].add(dj * inv_m[bb][..., None])
-    w = w.at[bb].add(inv_i[bb] * _cross(r2, dj))
-    vb = vb.at[ba].add(-db * inv_m[ba][..., None])
-    wb = wb.at[ba].add(-inv_i[ba] * _cross(r1, db))
-    vb = vb.at[bb].add(db * inv_m[bb][..., None])
-    wb = wb.at[bb].add(inv_i[bb] * _cross(r2, db))
+    v = v + _sca2(Sa, -dj * invm_a[..., None]) \
+        + _sca2(Sb, dj * invm_b[..., None])
+    w = w + _sca1(Sa, -invi_a * _cross(r1, dj)) \
+        + _sca1(Sb, invi_b * _cross(r2, dj))
+    vb = vb + _sca2(Sa, -db * invm_a[..., None]) \
+        + _sca2(Sb, db * invm_b[..., None])
+    wb = wb + _sca1(Sa, -invi_a * _cross(r1, db)) \
+        + _sca1(Sb, invi_b * _cross(r2, db))
     return (v, w, vb, wb), (jn_new, jt_new, jb_new)
 
 
