@@ -77,5 +77,43 @@ class MagicalGymEnv:
         state = _squeeze0(self._carry.state)
         return float(np.asarray(self._batched.task.score_fn(state)))
 
+    def debug_print_entity_spec(self):
+        """base_env.py:345-400 — print the current scene layout in the
+        reference's copy-pasteable format."""
+        from magical_tpu import constants as C
+        st = _squeeze0(self._carry.state)
+        pos = np.asarray(st.pos)
+        ang = np.asarray(st.angle)
+
+        def f_pose(p, a):
+            return '((%.3f, %.3f), %.3f)' % (p[0], p[1], a)
+
+        print(f'ROBOT_POSE = {f_pose(pos[0], ang[0])}')
+        act = np.asarray(st.block_active)
+        if act.any():
+            cols = np.asarray(st.block_colour)
+            shapes = np.asarray(st.block_shape)
+            idx = np.nonzero(act)[0]
+            print('BLOCK_COLOURS = [' + ', '.join(
+                f'en.ShapeColour.{C.SHAPE_COLOUR_NAMES[cols[i]].upper()}'
+                for i in idx) + ']')
+            print('BLOCK_SHAPES = [' + ', '.join(
+                f'en.ShapeType.{C.SHAPE_TYPE_NAMES[shapes[i]].upper()}'
+                for i in idx) + ']')
+            print('BLOCK_POSES = [' + ', '.join(
+                f_pose(pos[5 + i], ang[5 + i]) for i in idx) + ']')
+        gact = np.asarray(st.goal_active)
+        if gact.any():
+            g = np.asarray(st.goal_xyhw)
+            gc = np.asarray(st.goal_colour)
+            idx = np.nonzero(gact)[0]
+            print('GOAL_REGION_XYHWS = [' + ', '.join(
+                '(%.3f, %.3f, %.3f, %.3f)' % (
+                    g[i, 0] - g[i, 3] / 2, g[i, 1] + g[i, 2] / 2,
+                    g[i, 2], g[i, 3]) for i in idx) + ']')
+            print('GOAL_REGION_COLOURS = [' + ', '.join(
+                f'en.ShapeColour.{C.SHAPE_COLOUR_NAMES[gc[i]].upper()}'
+                for i in idx) + ']')
+
     def close(self):
         self._carry = None

@@ -3,17 +3,21 @@
 The reference steps one pymunk ``Space`` per env in Python
 (base_env.py:236-243: 10 substeps of dt=1/80 s, 10 solver iterations,
 collision_slop 0.01).  This module re-implements the same sequential-
-impulse scheme as pure JAX over the SoA :class:`EnvState`, designed for
-``vmap`` over thousands of envs:
+impulse scheme as pure JAX over the SoA :class:`EnvState`, shaped for
+the TPU compiler:
 
-  * narrowphase over a *static* candidate-pair list (body counts are tiny,
-    so all-pairs with masking beats any broadphase);
-  * the impulse solver runs a fixed schedule of *solve groups*.  Groups
-    are ordered like Chipmunk's arbiter-then-constraint sweep; within a
-    group, contacts touch disjoint bodies wherever possible (block-block
-    pairs use a round-robin tournament colouring so each colour is an
-    exact Gauss-Seidel sweep) and otherwise apply accumulated-impulse
-    Jacobi updates;
+  * narrowphase evaluates ONE flat static candidate list (all wall/
+    shape-pair contacts) per substep — body counts are tiny, so all-pairs
+    with masking beats any broadphase;
+  * active contacts are compacted to a fixed per-task budget (stable
+    order) so the solver works on a small dense contact set;
+  * the impulse solver runs Chipmunk's accumulated-impulse iteration
+    with *mass-splitting Jacobi* sweeps over the contact set (each body's
+    mass is split across its active contacts, which keeps simultaneous
+    impulses convergent without data-dependent ordering), followed by a
+    Gauss-Seidel sweep over the joints — all as a handful of large
+    regular ops per iteration (batched matmuls against per-env one-hot
+    incidence matrices; no scatters, which XLA:TPU serialises);
   * positions integrate at the start of each substep from the previous
     velocities plus Chipmunk-style pseudo-velocities (v_bias/w_bias),
     matching cpSpaceStep's update order.
@@ -56,7 +60,7 @@ def _perp(v):
 
 
 # ---------------------------------------------------------------------------
-# Static slot / pair tables
+# Static slot / candidate tables
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
@@ -68,63 +72,71 @@ def slot_tables(max_blocks: int):
     ns = 5 + max_blocks * KSUB
     body = np.zeros(ns, np.int32)
     friction = np.zeros(ns, np.float32)
-    is_robot = np.zeros(ns, bool)
     body[0] = 0
     friction[0] = C.ROBOT_BODY_FRICTION
-    is_robot[0] = True
     for side in range(2):           # 0 = left (body 1), 1 = right (body 2)
         for k in range(2):
             s = 1 + side * 2 + k
             body[s] = 1 + side
             friction[s] = C.FINGER_FRICTION
-            is_robot[s] = True
     for b in range(max_blocks):
         for k in range(KSUB):
             s = 5 + b * KSUB + k
             body[s] = N_ROBOT_BODIES + b
             friction[s] = C.SHAPE_FRICTION
-    return body, friction, is_robot
+    return body, friction
 
 
 @functools.lru_cache(maxsize=None)
-def pair_groups(max_blocks: int):
-    """Static contact pair groups: a list of (name, slot_a (K,), slot_b (K,))
-    numpy index arrays.  Grouping:
-      * one group per block for robot-vs-block contacts (sequential over
-        blocks => Gauss-Seidel through the shared robot bodies);
-      * block-block pairs coloured with the round-robin tournament
-        schedule so that no colour repeats a block."""
-    groups = []
+def pair_table(max_blocks: int):
+    """Static shape-pair candidate list (slot_a, slot_b): robot sub-shapes
+    vs every block sub-shape, plus all block-block sub-shape pairs.  Same
+    collision filtering as the reference: no robot-robot pairs (shared
+    ShapeFilter group, entities.py:358-375), no intra-block pairs
+    (entities.py:662-667)."""
+    sa, sb = [], []
     for b in range(max_blocks):
-        sa, sb = [], []
         for s in range(5):
             for k in range(KSUB):
                 sa.append(s)
                 sb.append(5 + b * KSUB + k)
-        groups.append((f'robot_block{b}', np.array(sa, np.int32),
-                       np.array(sb, np.int32)))
+    for b1 in range(max_blocks):
+        for b2 in range(b1 + 1, max_blocks):
+            for k1 in range(KSUB):
+                for k2 in range(KSUB):
+                    sa.append(5 + b1 * KSUB + k1)
+                    sb.append(5 + b2 * KSUB + k2)
+    return np.asarray(sa, np.int32), np.asarray(sb, np.int32)
 
-    # round-robin tournament colouring of the complete graph on blocks
-    n = max_blocks + (max_blocks % 2)
-    if max_blocks >= 2:
-        ids = list(range(n))
-        for rnd in range(n - 1):
-            sa, sb = [], []
-            # circle method: fix ids[0], rotate the rest
-            arrangement = [ids[0]] + ids[1:][rnd:] + ids[1:][:rnd]
-            for i in range(n // 2):
-                b1 = arrangement[i]
-                b2 = arrangement[n - 1 - i]
-                if b1 >= max_blocks or b2 >= max_blocks:
-                    continue
-                for k1 in range(KSUB):
-                    for k2 in range(KSUB):
-                        sa.append(5 + b1 * KSUB + k1)
-                        sb.append(5 + b2 * KSUB + k2)
-            if sa:
-                groups.append((f'bb_colour{rnd}', np.array(sa, np.int32),
-                               np.array(sb, np.int32)))
-    return groups
+
+def max_contacts(max_blocks: int) -> int:
+    """Dense contact budget after compaction (generous: worst observed
+    scenes stay under half of this)."""
+    return 32 + 16 * max_blocks
+
+
+@functools.lru_cache(maxsize=None)
+def candidate_bodies(max_blocks: int):
+    """Static per-candidate (body_a, body_b, friction) in candidate order:
+    [4 walls x NS slots x 2 pts] then [pairs x 2 pts]."""
+    slot_body, slot_friction = slot_tables(max_blocks)
+    nb = N_ROBOT_BODIES + max_blocks          # static row index = nb
+    ns = len(slot_body)
+    ba, bb, fr = [], [], []
+    for _w in range(col.N_WALLS):
+        for s in range(ns):
+            for _p in range(2):
+                ba.append(nb)
+                bb.append(slot_body[s])
+                fr.append(slot_friction[s] * C.WALL_FRICTION)
+    sa, sb = pair_table(max_blocks)
+    for i in range(len(sa)):
+        for _p in range(2):
+            ba.append(slot_body[sa[i]])
+            bb.append(slot_body[sb[i]])
+            fr.append(slot_friction[sa[i]] * slot_friction[sb[i]])
+    return (np.asarray(ba, np.int32), np.asarray(bb, np.int32),
+            np.asarray(fr, np.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -132,10 +144,10 @@ def pair_groups(max_blocks: int):
 # ---------------------------------------------------------------------------
 
 def slot_geometry(state: EnvState):
-    """Dynamic per-slot geometry: local verts (NS,NV,2), nv, radius, active."""
+    """Dynamic per-slot geometry: local verts (NS,NV,2), nv, radius,
+    active."""
     mb = state.max_blocks
     rg = G.ROBOT_GEOM
-    # robot slots (constants)
     rverts = np.zeros((5, NV, 2), np.float32)
     rverts[0, :] = 0.0                                  # circle centre
     for side in range(2):
@@ -151,7 +163,6 @@ def slot_geometry(state: EnvState):
         return (jnp.asarray(rverts), jnp.asarray(rnv), jnp.asarray(rrad),
                 jnp.asarray(ract))
 
-    # block slots: gather from the static type tables
     bs = state.block_shape                               # (MB,)
     bverts = jnp.asarray(G.BLOCK_VERTS)[bs]              # (MB,KSUB,NV,2)
     bnv = jnp.asarray(G.BLOCK_SUB_NV)[bs]                # (MB,KSUB)
@@ -167,97 +178,123 @@ def slot_geometry(state: EnvState):
 
 
 # ---------------------------------------------------------------------------
-# Contact group container
+# Contact compaction + solve
 # ---------------------------------------------------------------------------
 
-def _one_hot(idx, n):
-    """Constant (K, n) one-hot scatter/gather matrix for static indices.
+def _compact_contacts(pts, nrm, dst, vld, max_blocks):
+    """Select up to MAXC valid contacts (stable candidate order).
 
-    TPU XLA lowers vector-index scatter-adds to serialised loops; with
-    static contact->body maps we instead gather and accumulate through
-    these constant one-hot matmuls, which compile to dense (MXU/VPU)
-    contractions — the difference is ~100x in solver throughput."""
-    m = np.zeros((len(idx), n), np.float32)
-    m[np.arange(len(idx)), np.asarray(idx)] = 1.0
-    return jnp.asarray(m)
+    Implemented as a prefix-sum + one-hot contraction rather than
+    argsort/gather/scatter — sorts and scatters are catastrophically slow
+    on TPU; a (KC x MAXC) masked matmul is one MXU op per field."""
+    ba, bb, fr = candidate_bodies(max_blocks)
+    maxc = max_contacts(max_blocks)
+    vf = vld.astype(jnp.float32)
+    tgt = jnp.cumsum(vf, axis=-1) - 1.0            # slot index per valid
+    slots = jnp.arange(maxc, dtype=jnp.float32)
+    # S[k, m] = 1 iff candidate k is the m-th valid contact
+    S = (jnp.abs(tgt[..., :, None] - slots) < 0.5) * vf[..., :, None]
+
+    def take1(x):
+        return jnp.einsum('...km,...k->...m', S, x)
+
+    def take2(x):
+        return jnp.einsum('...km,...kd->...md', S, x)
+
+    valid_c = take1(vf) > 0.5
+    return dict(
+        points=take2(pts), normals=take2(nrm), dists=take1(dst),
+        valid=valid_c,
+        body_a=jnp.round(take1(jnp.asarray(ba, jnp.float32))).astype(
+            jnp.int32),
+        body_b=jnp.round(take1(jnp.asarray(bb, jnp.float32))).astype(
+            jnp.int32),
+        friction=take1(jnp.asarray(fr)))
 
 
-def _gat1(S, x):
-    """Gather scalars per contact: (K,N) x (...,N) -> (...,K)."""
-    return jnp.einsum('kn,...n->...k', S, x)
+def _contact_prestep(con, pos_p, inv_m_p, inv_i_p):
+    """cpArbiterPreStep over the compacted contact set, with per-env
+    incidence matrices and mass-splitting Jacobi stiffness."""
+    nbp = pos_p.shape[-2]
+    valid_f = con['valid'].astype(jnp.float32)
+    A = jax.nn.one_hot(con['body_a'], nbp, dtype=jnp.float32) \
+        * valid_f[..., None]
+    B = jax.nn.one_hot(con['body_b'], nbp, dtype=jnp.float32) \
+        * valid_f[..., None]
+    # per-body active contact degree for mass splitting
+    deg = jnp.maximum(jnp.sum(A + B, axis=-2), 1.0)        # (NBP,)
+    invm_split = inv_m_p * deg
+    invi_split = inv_i_p * deg
 
+    def gat1(M, x):
+        return jnp.einsum('...kn,...n->...k', M, x)
 
-def _gat2(S, x):
-    """Gather 2-vectors per contact: (K,N) x (...,N,2) -> (...,K,2)."""
-    return jnp.einsum('kn,...nd->...kd', S, x)
+    def gat2(M, x):
+        return jnp.einsum('...kn,...nd->...kd', M, x)
 
+    pa = gat2(A, pos_p)
+    pb = gat2(B, pos_p)
+    r1 = con['points'] - pa
+    r2 = con['points'] - pb
+    n = con['normals']
+    invm_a = gat1(A, invm_split)
+    invm_b = gat1(B, invm_split)
+    invi_a = gat1(A, invi_split)
+    invi_b = gat1(B, invi_split)
 
-def _sca1(S, x):
-    """Accumulate scalars to bodies: (K,N) x (...,K) -> (...,N)."""
-    return jnp.einsum('kn,...k->...n', S, x)
+    def k_scalar(axis):
+        rcn1 = _cross(r1, axis)
+        rcn2 = _cross(r2, axis)
+        return invm_a + invm_b + invi_a * rcn1 ** 2 + invi_b * rcn2 ** 2
 
-
-def _sca2(S, x):
-    """Accumulate 2-vectors to bodies: (K,N) x (...,K,2) -> (...,N,2)."""
-    return jnp.einsum('kn,...kd->...nd', S, x)
-
-
-def _prestep_contacts(points, normals, dists, valids, body_a, body_b,
-                      friction, pos, inv_m, inv_i):
-    """Compute per-contact solver coefficients (cpContactBufferGetArray /
-    cpArbiterPreStep semantics)."""
-    nbp = pos.shape[-2]
-    Sa = _one_hot(body_a, nbp)
-    Sb = _one_hot(body_b, nbp)
-    pa = _gat2(Sa, pos)
-    pb = _gat2(Sb, pos)
-    r1 = points - pa
-    r2 = points - pb
-    n = normals
-    invm_a = _gat1(Sa, inv_m)
-    invm_b = _gat1(Sb, inv_m)
-    invi_a = _gat1(Sa, inv_i)
-    invi_b = _gat1(Sb, inv_i)
-
-    def k_scalar(rr1, rr2, axis):
-        rcn1 = _cross(rr1, axis)
-        rcn2 = _cross(rr2, axis)
-        return (invm_a + invm_b + invi_a * rcn1 ** 2 + invi_b * rcn2 ** 2)
-
-    n_mass = 1.0 / jnp.maximum(k_scalar(r1, r2, n), 1e-12)
-    t_mass = 1.0 / jnp.maximum(k_scalar(r1, r2, _perp(n)), 1e-12)
+    n_mass = 1.0 / jnp.maximum(k_scalar(n), 1e-12)
+    t_mass = 1.0 / jnp.maximum(k_scalar(_perp(n)), 1e-12)
     bias = -CONTACT_BIAS_COEF * jnp.minimum(
-        0.0, dists + C.COLLISION_SLOP) / C.DT
-    return dict(r1=r1, r2=r2, n=n, n_mass=n_mass, t_mass=t_mass, bias=bias,
-                valid=valids, u=friction, Sa=Sa, Sb=Sb,
-                invm_a=invm_a, invm_b=invm_b, invi_a=invi_a, invi_b=invi_b)
+        0.0, con['dists'] + C.COLLISION_SLOP) / C.DT
+    # impulses are applied with the TRUE inverse masses; splitting only
+    # enters the effective per-contact stiffness above
+    return dict(A=A, B=B, r1=r1, r2=r2, n=n, n_mass=n_mass, t_mass=t_mass,
+                bias=bias, valid=con['valid'], u=con['friction'],
+                invm_a=gat1(A, inv_m_p), invm_b=gat1(B, inv_m_p),
+                invi_a=gat1(A, inv_i_p), invi_b=gat1(B, inv_i_p))
 
 
-def _solve_contact_group(bodies, con, acc):
-    """One accumulated-impulse solve sweep over a contact group.
+def _gat1(M, x):
+    return jnp.einsum('...kn,...n->...k', M, x)
 
-    `bodies` = (v, w, vb, wb) padded with a trailing static row;
-    `acc` = (jn, jt, jbias) accumulators.  All body gathers/accumulations
-    go through the constant one-hot matrices Sa/Sb (see _one_hot)."""
+
+def _gat2(M, x):
+    return jnp.einsum('...kn,...nd->...kd', M, x)
+
+
+def _acc1(M, x):
+    return jnp.einsum('...kn,...k->...n', M, x)
+
+
+def _acc2(M, x):
+    return jnp.einsum('...kn,...kd->...nd', M, x)
+
+
+def _contact_iteration(bodies, con, acc):
+    """One mass-splitting Jacobi sweep with Chipmunk's accumulated-impulse
+    clamping (cpArbiterApplyImpulse semantics per contact)."""
     v, w, vb, wb = bodies
     jn_acc, jt_acc, jb_acc = acc
-    Sa, Sb = con['Sa'], con['Sb']
+    A, B = con['A'], con['B']
     r1, r2, n = con['r1'], con['r2'], con['n']
     valid = con['valid']
-    invm_a, invm_b = con['invm_a'], con['invm_b']
-    invi_a, invi_b = con['invi_a'], con['invi_b']
 
-    # --- pseudo-velocity (position correction) impulse --------------------
-    vb1 = _gat2(Sa, vb) + _perp(r1) * _gat1(Sa, wb)[..., None]
-    vb2 = _gat2(Sb, vb) + _perp(r2) * _gat1(Sb, wb)[..., None]
+    # pseudo-velocity (position correction) impulse
+    vb1 = _gat2(A, vb) + _perp(r1) * _gat1(A, wb)[..., None]
+    vb2 = _gat2(B, vb) + _perp(r2) * _gat1(B, wb)[..., None]
     vbn = jnp.sum((vb2 - vb1) * n, -1)
     jbn = (con['bias'] - vbn) * con['n_mass']
     jb_new = jnp.where(valid, jnp.maximum(jb_acc + jbn, 0.0), jb_acc)
     db = (jb_new - jb_acc)[..., None] * n
 
-    # --- normal + friction impulse ---------------------------------------
-    vr1 = _gat2(Sa, v) + _perp(r1) * _gat1(Sa, w)[..., None]
-    vr2 = _gat2(Sb, v) + _perp(r2) * _gat1(Sb, w)[..., None]
+    # normal + friction impulse
+    vr1 = _gat2(A, v) + _perp(r1) * _gat1(A, w)[..., None]
+    vr2 = _gat2(B, v) + _perp(r2) * _gat1(B, w)[..., None]
     vr = vr2 - vr1
     vrn = jnp.sum(vr * n, -1)
     jn = -vrn * con['n_mass']            # bounce = 0 (elasticity 0)
@@ -270,14 +307,14 @@ def _solve_contact_group(bodies, con, acc):
     dj = (jn_new - jn_acc)[..., None] * n \
         + (jt_new - jt_acc)[..., None] * _perp(n)
 
-    v = v + _sca2(Sa, -dj * invm_a[..., None]) \
-        + _sca2(Sb, dj * invm_b[..., None])
-    w = w + _sca1(Sa, -invi_a * _cross(r1, dj)) \
-        + _sca1(Sb, invi_b * _cross(r2, dj))
-    vb = vb + _sca2(Sa, -db * invm_a[..., None]) \
-        + _sca2(Sb, db * invm_b[..., None])
-    wb = wb + _sca1(Sa, -invi_a * _cross(r1, db)) \
-        + _sca1(Sb, invi_b * _cross(r2, db))
+    v = v + _acc2(A, -dj * con['invm_a'][..., None]) \
+        + _acc2(B, dj * con['invm_b'][..., None])
+    w = w + _acc1(A, -con['invi_a'] * _cross(r1, dj)) \
+        + _acc1(B, con['invi_b'] * _cross(r2, dj))
+    vb = vb + _acc2(A, -db * con['invm_a'][..., None]) \
+        + _acc2(B, db * con['invm_b'][..., None])
+    wb = wb + _acc1(A, -con['invi_a'] * _cross(r1, db)) \
+        + _acc1(B, con['invi_b'] * _cross(r2, db))
     return (v, w, vb, wb), (jn_new, jt_new, jb_new)
 
 
@@ -285,20 +322,12 @@ def _solve_contact_group(bodies, con, acc):
 # Joints
 # ---------------------------------------------------------------------------
 
-def _apply_ang(w, i, dj, inv_i):
-    return w.at[i].add(dj * inv_i[i])
-
-
 def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
-    """One Gauss-Seidel sweep over all joints, in canonical order.
-
-    `pre` holds per-substep prestep data; `jacc` the accumulators."""
+    """One Gauss-Seidel sweep over all joints, in canonical order."""
     v, w, vb, wb = bodies
-    dt = C.DT
 
-    # 1. Robot pivot velocity servo (control body -> main body):
-    #    drives v[0] toward the kinematic control velocity, force-limited,
-    #    no bias (entities.py:255-258).
+    # 1. Robot pivot velocity servo (control body -> main body)
+    #    (entities.py:255-258): v[0] -> control velocity, force-limited.
     j_max = pre['pivot_jmax']
     vr = v[0] - pre['control_vel']
     j = -vr / inv_m[0]
@@ -310,8 +339,7 @@ def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
     v = v.at[0].add((acc_new - acc_old) * inv_m[0])
     jacc = {**jacc, 'pivot': acc_new}
 
-    # 2. Robot gear heading servo (entities.py:259-263): drives w[0] toward
-    #    bias (clamped turn rate), torque-limited.
+    # 2. Robot gear heading servo (entities.py:259-263).
     wr = w[0]
     j = (pre['gear_bias'] - wr) / inv_i[0]
     acc_old = jacc['gear']
@@ -322,7 +350,7 @@ def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
     # 3. Fingers: pin joint, rotary limit, simple motor per side.
     for side in range(2):
         fb = 1 + side
-        # --- pin joint (entities.py:334-341, error_bias = 0) ---
+        # pin joint (entities.py:334-341, error_bias = 0)
         n = pre['pin_n'][side]
         r1 = pre['pin_r1'][side]
         n_mass = pre['pin_nmass'][side]
@@ -339,7 +367,7 @@ def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
         v = v.at[fb].add(dj * inv_m[fb])
         jacc = {**jacc, 'pin': jacc['pin'].at[side].set(acc_new)}
 
-        # --- rotary limit (entities.py:343-346, error_bias = 0) ---
+        # rotary limit (entities.py:343-346, error_bias = 0)
         bias = pre['limit_bias'][side]
         i_sum = 1.0 / (inv_i[0] + inv_i[fb])
         wr = w[fb] - w[0]
@@ -355,7 +383,7 @@ def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
         w = w.at[fb].add(dj * inv_i[fb])
         jacc = {**jacc, 'limit': jacc['limit'].at[side].set(acc_new)}
 
-        # --- simple motor (entities.py:349-354) ---
+        # simple motor (entities.py:349-354)
         rate = pre['motor_rate'][side]
         j_max = pre['motor_jmax']
         wr = w[fb] - w[0] + rate
@@ -367,8 +395,8 @@ def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
         w = w.at[fb].add(dj * inv_i[fb])
         jacc = {**jacc, 'motor': jacc['motor'].at[side].set(acc_new)}
 
-    # 4. Eye damped rotary springs (entities.py:266-277): damping part of
-    #    cpDampedRotarySpring (spring torque applied in prestep).
+    # 4. Eye damped rotary springs (entities.py:266-277): damping part
+    #    (spring torque applied in prestep).
     for side in range(2):
         eb = 3 + side
         i_sum = 1.0 / (inv_i[0] + inv_i[eb])
@@ -383,8 +411,7 @@ def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
         jacc = {**jacc,
                 'eye_target': jacc['eye_target'].at[side].set(new_target)}
 
-    # 5. Block top-down friction dampers (entities.py:703-711): pivot to
-    #    static (v -> 0, |J| <= F dt) + gear to static (w -> 0).
+    # 5. Block top-down friction dampers (entities.py:703-711).
     if max_blocks == 0:
         return (v, w, vb, wb), jacc
     bsl = slice(N_ROBOT_BODIES, N_ROBOT_BODIES + max_blocks)
@@ -424,7 +451,6 @@ def physics_substep(state: EnvState, iterations: int = C.PHYS_ITER):
     nb = state.n_bodies
     dt = C.DT
     inv_m, inv_i = inv_mass_arrays(state)
-    # pad a static body row (index nb) for wall contacts
     inv_m_p = jnp.concatenate([inv_m, jnp.zeros((1,), jnp.float32)])
     inv_i_p = jnp.concatenate([inv_i, jnp.zeros((1,), jnp.float32)])
 
@@ -443,64 +469,52 @@ def physics_substep(state: EnvState, iterations: int = C.PHYS_ITER):
     angle = state.angle + (state.omega + state.w_bias) * dt
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 2), jnp.float32)])
 
-    # ---- narrowphase ------------------------------------------------------
+    # ---- narrowphase over the flat candidate list -------------------------
     verts_local, nv, radius, active = slot_geometry(state)
-    slot_body, slot_friction, _ = slot_tables(mb)
+    slot_body, _ = slot_tables(mb)
     wverts = col.transform_verts(verts_local, pos[slot_body],
                                  angle[slot_body])
 
-    groups = []
+    # walls: (4 walls, NS slots, 2 pts)
+    wn = jnp.asarray(col.WALL_NORMALS)
+    wo = jnp.asarray(col.WALL_OFFSETS)
+    wpts, wnrm, wdst, wvld = jax.vmap(
+        jax.vmap(col.wall_contacts_for_slot, in_axes=(0, 0, 0, None, None)),
+        in_axes=(None, None, None, 0, 0))(wverts, nv, radius, wn, wo)
+    wvld = wvld & active[None, :, None]
+    wnrm = jnp.broadcast_to(wnrm[:, :, None, :], wpts.shape)
 
-    # wall contacts: one group per wall (disjoint push directions)
-    for wi in range(col.N_WALLS):
-        wn = jnp.asarray(col.WALL_NORMALS[wi])
-        wo = jnp.asarray(col.WALL_OFFSETS[wi])
-        pts, nrm, dst, vld = jax.vmap(
-            col.wall_contacts_for_slot, in_axes=(0, 0, 0, None, None))(
-                wverts, nv, radius, wn, wo)
-        ns = wverts.shape[0]
-        k = ns * 2
-        body_b = np.repeat(np.asarray(slot_body), 2)
-        body_a = np.full(k, nb, np.int32)          # static row
-        fr = np.repeat(np.asarray(slot_friction) * C.WALL_FRICTION, 2)
-        vld = vld & active[:, None]
-        con = _prestep_contacts(
-            pts.reshape(k, 2), jnp.broadcast_to(nrm[:, None, :],
-                                                (ns, 2, 2)).reshape(k, 2),
-            dst.reshape(k), vld.reshape(k),
-            jnp.asarray(body_a), jnp.asarray(body_b), jnp.asarray(fr),
-            pos_p, inv_m_p, inv_i_p)
-        groups.append(con)
+    parts_pts = [wpts.reshape(-1, 2)]
+    parts_nrm = [wnrm.reshape(-1, 2)]
+    parts_dst = [wdst.reshape(-1)]
+    parts_vld = [wvld.reshape(-1)]
 
-    # shape-shape pair groups
-    for name, sa, sb in pair_groups(mb):
-        pts, nrm, dst, vld = jax.vmap(col.pair_contacts)(
+    sa, sb = pair_table(mb)
+    if len(sa):
+        ppts, pnrm, pdst, pvld = jax.vmap(col.pair_contacts)(
             wverts[sa], nv[sa], radius[sa], wverts[sb], nv[sb], radius[sb],
             pos[slot_body[sa]], pos[slot_body[sb]])
-        k = len(sa) * 2
         pair_ok = active[sa] & active[sb]
-        vld = vld & pair_ok[:, None]
-        body_a = np.repeat(slot_body[sa], 2)
-        body_b = np.repeat(slot_body[sb], 2)
-        fr = np.repeat(slot_friction[sa] * slot_friction[sb], 2)
-        con = _prestep_contacts(
-            pts.reshape(k, 2), nrm.reshape(k, 2), dst.reshape(k),
-            vld.reshape(k), jnp.asarray(body_a), jnp.asarray(body_b),
-            jnp.asarray(fr), pos_p, inv_m_p, inv_i_p)
-        groups.append(con)
+        pvld = pvld & pair_ok[:, None]
+        parts_pts.append(ppts.reshape(-1, 2))
+        parts_nrm.append(pnrm.reshape(-1, 2))
+        parts_dst.append(pdst.reshape(-1))
+        parts_vld.append(pvld.reshape(-1))
 
-    for con in groups:
-        con['inv_m'] = inv_m_p
-        con['inv_i'] = inv_i_p
+    pts = jnp.concatenate(parts_pts)
+    nrm = jnp.concatenate(parts_nrm)
+    dst = jnp.concatenate(parts_dst)
+    vld = jnp.concatenate(parts_vld)
+
+    con_raw = _compact_contacts(pts, nrm, dst, vld, mb)
+    con = _contact_prestep(con_raw, pos_p, inv_m_p, inv_i_p)
 
     # ---- joint prestep ----------------------------------------------------
     phys = state.phys
     rg = G.ROBOT_GEOM
-    # gear bias (cpGearJoint with error_bias=0, max_bias=2.5):
     gear_err = angle[0] - control_angle
     gear_bias = jnp.clip(-gear_err / dt, -C.ROBOT_GEAR_MAX_BIAS,
                          C.ROBOT_GEAR_MAX_BIAS)
-    # finger pin joints: world anchors
     Rm = col.rot2(angle[0])
     rel = jnp.asarray(rg['finger_rel_pos'])                  # (2,2)
     anchor_a = pos[0] + jnp.einsum('ij,sj->si', Rm, rel)      # (2,2)
@@ -514,15 +528,12 @@ def physics_substep(state: EnvState, iterations: int = C.PHYS_ITER):
     pin_nmass = 1.0 / jnp.maximum(pin_k, 1e-12)
     pin_bias = -dist / dt        # error_bias = 0 (entities.py:340)
 
-    # rotary limits (error_bias = 0):
     lims = jnp.asarray(rg['finger_rot_limits'])               # (2,2) lo, hi
     ldist = angle[1:3] - angle[0]
     pdist = jnp.where(ldist > lims[:, 1], lims[:, 1] - ldist,
                       jnp.where(ldist < lims[:, 0], lims[:, 0] - ldist, 0.0))
     limit_bias = -pdist / dt
 
-    # eye springs: apply spring torque impulse now (cpDampedRotarySpring
-    # preStep), damping handled per-iteration.
     v = state.vel
     w = state.omega
     for side in range(2):
@@ -554,9 +565,10 @@ def physics_substep(state: EnvState, iterations: int = C.PHYS_ITER):
     vb_p = jnp.zeros_like(v_p)
     wb_p = jnp.zeros_like(w_p)
 
-    accs = tuple(
-        (jnp.zeros_like(con['bias']), jnp.zeros_like(con['bias']),
-         jnp.zeros_like(con['bias'])) for con in groups)
+    maxc = max_contacts(mb)
+    acc0 = (jnp.zeros((maxc,), jnp.float32),
+            jnp.zeros((maxc,), jnp.float32),
+            jnp.zeros((maxc,), jnp.float32))
     jacc0 = dict(
         pivot=jnp.zeros((2,), jnp.float32),
         gear=jnp.float32(0.0),
@@ -570,16 +582,13 @@ def physics_substep(state: EnvState, iterations: int = C.PHYS_ITER):
         jacc0['block_gear'] = jnp.zeros((mb,), jnp.float32)
 
     def iteration(_, carry):
-        bodies, accs, jacc = carry
-        new_accs = []
-        for con, acc in zip(groups, accs):
-            bodies, acc = _solve_contact_group(bodies, con, acc)
-            new_accs.append(acc)
+        bodies, acc, jacc = carry
+        bodies, acc = _contact_iteration(bodies, con, acc)
         bodies, jacc = _joint_sweep(bodies, jacc, pre, inv_m_p, inv_i_p, mb)
-        return bodies, tuple(new_accs), jacc
+        return bodies, acc, jacc
 
     bodies, _, _ = jax.lax.fori_loop(
-        0, iterations, iteration, ((v_p, w_p, vb_p, wb_p), accs, jacc0))
+        0, iterations, iteration, ((v_p, w_p, vb_p, wb_p), acc0, jacc0))
     v_p, w_p, vb_p, wb_p = bodies
 
     return state.replace(

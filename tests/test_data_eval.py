@@ -83,6 +83,10 @@ def test_preprocess_demos(preproc, shape, kind):
         first = out.obs[0]
         if preproc == 'LoResCHW4E':
             np.testing.assert_array_equal(first[:3], first[9:])
+        elif preproc == 'LoRes3EA':
+            # channels: [allo_t, ego_{t-2}, ego_{t-1}, ego_t]; at reset all
+            # ego frames are equal
+            np.testing.assert_array_equal(first[..., 3:6], first[..., 9:12])
         else:
             np.testing.assert_array_equal(first[..., :3], first[..., 9:])
     else:
