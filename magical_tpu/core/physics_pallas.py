@@ -1,0 +1,881 @@
+"""Pallas TPU physics kernel: one control step (10 substeps x 10 solver
+iterations) fused into a single kernel.
+
+The XLA path (core/physics.py) is semantically identical but emits
+thousands of small device ops per control step; on this TPU runtime each
+op carries ~10us of serial latency, capping throughput near 1e3-1e4
+env-steps/s regardless of batch.  This kernel keeps the whole pipeline
+in VMEM:
+
+  layout:    envs on the lane axis (ENV_TILE lanes per program); every
+             per-env scalar is a (1, ENV_TILE) vector, per-body state a
+             (NB, ENV_TILE) scratch array.
+  grid:      (B // ENV_TILE,)
+  state I/O: one packed (ROWS, B) f32 array (pack_state/unpack_state).
+  loops:     fori over substeps, candidate pairs (dynamic slot indexing
+             into VMEM scratch) and solver iterations, so the traced
+             program stays small.
+
+Same physics as core/physics.py: Chipmunk position-first integration,
+SAT narrowphase over the static candidate list, accumulated-impulse
+contact solve (mass-splitting Jacobi over the candidate set, one point
+per shape pair + two per wall) and Gauss-Seidel joints.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from magical_tpu import constants as C
+from magical_tpu import geometry as G
+from magical_tpu.core import physics as P
+from magical_tpu.core.state import EnvState, N_ROBOT_BODIES
+
+NV = G.NV
+KSUB = G.KSUB
+ENV_TILE = 256
+BIG = 1e9
+
+
+class _Layout:
+    """Row offsets of the packed state array."""
+
+    def __init__(self, mb: int):
+        self.mb = mb
+        self.nb = N_ROBOT_BODIES + mb
+        o = 0
+
+        def take(n):
+            nonlocal o
+            start = o
+            o += n
+            return start
+
+        self.pos_x = take(self.nb)
+        self.pos_y = take(self.nb)
+        self.angle = take(self.nb)
+        self.vel_x = take(self.nb)
+        self.vel_y = take(self.nb)
+        self.omega = take(self.nb)
+        self.vb_x = take(self.nb)
+        self.vb_y = take(self.nb)
+        self.wb = take(self.nb)
+        self.tspeed = take(1)
+        self.tturn = take(1)
+        self.tfinger = take(1)
+        self.phys = take(C.N_PHYS_VARS)
+        self.bshape = take(self.mb)
+        self.bactive = take(self.mb)
+        self.rows = o
+
+
+def pack_state(state: EnvState) -> jnp.ndarray:
+    """Batched EnvState -> (ROWS, B) f32."""
+    rows = [
+        state.pos[..., 0], state.pos[..., 1],
+        state.angle,
+        state.vel[..., 0], state.vel[..., 1],
+        state.omega,
+        state.v_bias[..., 0], state.v_bias[..., 1],
+        state.w_bias,
+        state.target_speed[:, None],
+        state.rel_turn_angle[:, None],
+        state.target_finger_angle[:, None],
+        state.phys,
+        state.block_shape.astype(jnp.float32),
+        state.block_active.astype(jnp.float32),
+    ]
+    return jnp.concatenate([r.astype(jnp.float32) for r in rows],
+                           axis=1).T
+
+
+def unpack_state(packed: jnp.ndarray, state: EnvState) -> EnvState:
+    L = _Layout(state.max_blocks)
+    nb = L.nb
+    x = packed.T
+    return state.replace(
+        pos=jnp.stack([x[:, L.pos_x:L.pos_x + nb],
+                       x[:, L.pos_y:L.pos_y + nb]], -1),
+        angle=x[:, L.angle:L.angle + nb],
+        vel=jnp.stack([x[:, L.vel_x:L.vel_x + nb],
+                       x[:, L.vel_y:L.vel_y + nb]], -1),
+        omega=x[:, L.omega:L.omega + nb],
+        v_bias=jnp.stack([x[:, L.vb_x:L.vb_x + nb],
+                          x[:, L.vb_y:L.vb_y + nb]], -1),
+        w_bias=x[:, L.wb:L.wb + nb],
+    )
+
+
+def _make_kernel(mb: int, phys_steps: int, iterations: int):
+    L = _Layout(mb)
+    nb = L.nb
+    ns = 5 + mb * KSUB
+    slot_body, slot_friction = P.slot_tables(mb)
+    sa_tab, sb_tab = P.pair_table(mb)
+    n_pairs = len(sa_tab)
+    n_wall_cand = 4 * ns * 2
+    kc = n_wall_cand + 2 * n_pairs
+    ba_tab, bb_tab, fr_tab = P.candidate_bodies(mb)
+    dt = C.DT
+    bias_coef = P.CONTACT_BIAS_COEF
+    rg = G.ROBOT_GEOM
+
+    mask_a = [np.asarray(ba_tab == n, np.float32)[:, None]
+              for n in range(nb + 1)]
+    mask_b = [np.asarray(bb_tab == n, np.float32)[:, None]
+              for n in range(nb + 1)]
+    fr_col = jnp.asarray(np.asarray(fr_tab, np.float32)[:, None])
+
+    robot_local = np.zeros((5, NV, 2), np.float32)
+    for side in range(2):
+        for k in range(2):
+            poly = rg['finger_polys'][side, k]
+            robot_local[1 + side * 2 + k, :4] = poly
+            robot_local[1 + side * 2 + k, 4:] = poly[-1]
+    robot_nv = [1.0, 4.0, 4.0, 4.0, 4.0]
+    robot_rad = [C.ROBOT_RAD, 0.0, 0.0, 0.0, 0.0]
+
+    inv_m_body = [1.0 / C.ROBOT_MASS, 1.0 / C.FINGER_MASS,
+                  1.0 / C.FINGER_MASS, 1.0 / C.EYE_MASS, 1.0 / C.EYE_MASS]
+    inv_i_body = [1.0 / rg['body_moment'], 1.0 / rg['finger_moment'],
+                  1.0 / rg['finger_moment'], 1.0 / rg['eye_moment'],
+                  1.0 / rg['eye_moment']]
+
+    WALLS = [(1.0, 0.0, -1.0), (-1.0, 0.0, -1.0),
+             (0.0, 1.0, -1.0), (0.0, -1.0, -1.0)]
+
+    # constant tables for the pair fori loop
+    sa_arr = jnp.asarray(sa_tab.astype(np.int32))
+    sb_arr = jnp.asarray(sb_tab.astype(np.int32))
+    slot_body_arr = jnp.asarray(slot_body.astype(np.int32))
+
+    def kernel(state_ref, out_ref,
+               body_st, lgeo, wvx, wvy,
+               cpx, cpy, cnx, cny, cdst, cvld,
+               jn_acc, jt_acc, jb_acc):
+        """Refs:
+        body_st: (9, NB+1, E) scratch: px,py,ang,vx,vy,w,vbx,vby,wb
+                 (row nb = the static body, always zero)
+        lgeo:    (3 + 2*NV, NS, E): nv, rad, act, then local verts x/y
+                 interleaved (lx0, ly0, lx1, ...)
+        wvx/wvy: (NS, NV, E) world verts
+        c*:      (KC, E) candidate contact fields
+        j*_acc:  (KC, E) accumulated impulses
+        """
+        E = state_ref.shape[-1]
+
+        def srow(r):
+            return state_ref[r, :][None, :]
+
+        tspeed = srow(L.tspeed)
+        tturn = srow(L.tturn)
+        tfinger = srow(L.tfinger)
+        phys = [srow(L.phys + i) for i in range(C.N_PHYS_VARS)]
+        bshape = [srow(L.bshape + b) for b in range(mb)]
+        bactive = [srow(L.bactive + b) for b in range(mb)]
+
+        # ---- per-env inverse masses ----------------------------------
+        inv_m = [jnp.full((1, E), v, jnp.float32) for v in inv_m_body]
+        inv_i = [jnp.full((1, E), v, jnp.float32) for v in inv_i_body]
+        for b in range(mb):
+            act = bactive[b]
+            inv_m.append(act * (1.0 / C.SHAPE_MASS))
+            minv = jnp.zeros((1, E), jnp.float32)
+            for t in range(7):
+                minv = jnp.where(bshape[b] == float(t),
+                                 1.0 / float(G.BLOCK_MOMENT[t]), minv)
+            inv_i.append(act * minv)
+        inv_m.append(jnp.zeros((1, E), jnp.float32))   # static row
+        inv_i.append(jnp.zeros((1, E), jnp.float32))
+        inv_m_st = jnp.concatenate(inv_m, axis=0)       # (NB+1, E)
+        inv_i_st = jnp.concatenate(inv_i, axis=0)
+
+        # ---- local slot geometry into scratch ------------------------
+        for s in range(5):
+            lgeo[0, s, :] = jnp.full((E,), robot_nv[s], jnp.float32)
+            lgeo[1, s, :] = jnp.full((E,), robot_rad[s], jnp.float32)
+            lgeo[2, s, :] = jnp.ones((E,), jnp.float32)
+            for v in range(NV):
+                lgeo[3 + 2 * v, s, :] = jnp.full(
+                    (E,), robot_local[s, v, 0], jnp.float32)
+                lgeo[4 + 2 * v, s, :] = jnp.full(
+                    (E,), robot_local[s, v, 1], jnp.float32)
+        for b in range(mb):
+            for k in range(KSUB):
+                s = 5 + b * KSUB + k
+                nvv = jnp.zeros((1, E), jnp.float32)
+                rad = jnp.zeros((1, E), jnp.float32)
+                acs = jnp.zeros((1, E), jnp.float32)
+                vxs = [jnp.zeros((1, E), jnp.float32) for _ in range(NV)]
+                vys = [jnp.zeros((1, E), jnp.float32) for _ in range(NV)]
+                for t in range(7):
+                    m = bshape[b] == float(t)
+                    nvv = jnp.where(m, float(G.BLOCK_SUB_NV[t, k]), nvv)
+                    rad = jnp.where(m, float(G.BLOCK_SUB_RADIUS[t, k]), rad)
+                    acs = jnp.where(m, float(G.BLOCK_SUB_ACTIVE[t, k]), acs)
+                    for v in range(NV):
+                        vxs[v] = jnp.where(
+                            m, float(G.BLOCK_VERTS[t, k, v, 0]), vxs[v])
+                        vys[v] = jnp.where(
+                            m, float(G.BLOCK_VERTS[t, k, v, 1]), vys[v])
+                lgeo[0, s, :] = nvv[0]
+                lgeo[1, s, :] = rad[0]
+                lgeo[2, s, :] = (acs * bactive[b])[0]
+                for v in range(NV):
+                    lgeo[3 + 2 * v, s, :] = vxs[v][0]
+                    lgeo[4 + 2 * v, s, :] = vys[v][0]
+
+        # ---- load body state into scratch ----------------------------
+        zero_row = jnp.zeros((1, E), jnp.float32)
+        for i in range(nb):
+            body_st[0, i, :] = state_ref[L.pos_x + i, :]
+            body_st[1, i, :] = state_ref[L.pos_y + i, :]
+            body_st[2, i, :] = state_ref[L.angle + i, :]
+            body_st[3, i, :] = state_ref[L.vel_x + i, :]
+            body_st[4, i, :] = state_ref[L.vel_y + i, :]
+            body_st[5, i, :] = state_ref[L.omega + i, :]
+            body_st[6, i, :] = state_ref[L.vb_x + i, :]
+            body_st[7, i, :] = state_ref[L.vb_y + i, :]
+            body_st[8, i, :] = state_ref[L.wb + i, :]
+        for f in range(9):
+            body_st[f, nb, :] = zero_row[0]
+
+        pivot_jmax = phys[C.PV_ROBOT_POS_FORCE] * dt
+        gear_jmax = phys[C.PV_ROBOT_ROT_FORCE] * dt
+        motor_jmax = phys[C.PV_FINGER_FORCE] * dt
+        bp_jmax = phys[C.PV_SHAPE_TRANS_FORCE] * dt
+        bg_jmax = phys[C.PV_SHAPE_ROT_FORCE] * dt
+        eye_wcoef = 1.0 - jnp.exp(
+            -C.EYE_SPRING_DAMPING * dt
+            * (inv_i_st[0:1, :] + inv_i_st[3:4, :]))
+
+        # ==================== substep loop ============================
+        def substep(_s, carry):
+            # ---- Robot.update (pre-integration) ----------------------
+            a0 = body_st[2, 0, :][None, :]
+            control_ax = -jnp.sin(a0) * tspeed
+            control_ay = jnp.cos(a0) * tspeed
+            control_angle = a0 + tturn
+            motor_rate = []
+            for side, sgn in ((0, -1.0), (1, 1.0)):
+                rel_a = body_st[2, 1 + side, :][None, :] - a0
+                err = rel_a + sgn * tfinger
+                rate = jnp.clip(err * 10.0, -1.0, 1.0)
+                rate = jnp.where(jnp.abs(rate) < 1e-4, 0.0, rate)
+                motor_rate.append(rate)
+
+            # ---- integrate positions (vectorised over bodies) --------
+            body_st[0, :, :] = body_st[0, :, :] \
+                + (body_st[3, :, :] + body_st[6, :, :]) * dt
+            body_st[1, :, :] = body_st[1, :, :] \
+                + (body_st[4, :, :] + body_st[7, :, :]) * dt
+            body_st[2, :, :] = body_st[2, :, :] \
+                + (body_st[5, :, :] + body_st[8, :, :]) * dt
+            body_st[6, :, :] = jnp.zeros((nb + 1, E), jnp.float32)
+            body_st[7, :, :] = jnp.zeros((nb + 1, E), jnp.float32)
+            body_st[8, :, :] = jnp.zeros((nb + 1, E), jnp.float32)
+
+            # ---- world verts per slot (fori over slots) --------------
+            def wv_body(s, _):
+                bi = slot_body_arr[s]
+                px = body_st[0, bi, :][None, :]
+                py = body_st[1, bi, :][None, :]
+                aa = body_st[2, bi, :][None, :]
+                ca = jnp.cos(aa)
+                sa = jnp.sin(aa)
+                for v in range(NV):
+                    lx = lgeo[3 + 2 * v, s, :][None, :]
+                    ly = lgeo[4 + 2 * v, s, :][None, :]
+                    wvx[s, v, :] = (ca * lx - sa * ly + px)[0]
+                    wvy[s, v, :] = (sa * lx + ca * ly + py)[0]
+                return 0
+
+            jax.lax.fori_loop(0, ns, wv_body, 0)
+
+            # ---- narrowphase: walls (fori over slots, walls unrolled)
+            def wall_body(s, _):
+                nvs = lgeo[0, s, :][None, :]
+                rads = lgeo[1, s, :][None, :]
+                acts = lgeo[2, s, :][None, :]
+                for wi, (wnx, wny, woff) in enumerate(WALLS):
+                    seps = []
+                    for v in range(NV):
+                        sx = wvx[s, v, :][None, :]
+                        sy = wvy[s, v, :][None, :]
+                        sep = sx * wnx + sy * wny - woff - rads
+                        sep = jnp.where(v < nvs, sep, BIG)
+                        seps.append((sep, sx, sy))
+                    b1 = seps[0]
+                    b1_i = jnp.zeros_like(seps[0][0])
+                    for v, cand in enumerate(seps[1:], start=1):
+                        cond = cand[0] < b1[0]
+                        b1 = tuple(jnp.where(cond, c, o)
+                                   for c, o in zip(cand, b1))
+                        b1_i = jnp.where(cond, float(v), b1_i)
+                    b2 = (jnp.full_like(b1[0], BIG), b1[1], b1[2])
+                    for v, cand in enumerate(seps):
+                        is1 = b1_i == float(v)
+                        cond = (cand[0] < b2[0]) & ~is1
+                        b2 = tuple(jnp.where(cond, c, o)
+                                   for c, o in zip(cand, b2))
+                    for pt_i, (sep, sx, sy) in enumerate((b1, b2)):
+                        ci = wi * ns * 2 + s * 2 + pt_i
+                        cpx[ci, :] = (sx - wnx * rads)[0]
+                        cpy[ci, :] = (sy - wny * rads)[0]
+                        cnx[ci, :] = jnp.full((E,), wnx, jnp.float32)
+                        cny[ci, :] = jnp.full((E,), wny, jnp.float32)
+                        cdst[ci, :] = sep[0]
+                        cvld[ci, :] = ((sep < 0.0) & (acts > 0.5)
+                                       ).astype(jnp.float32)[0]
+                return 0
+
+            jax.lax.fori_loop(0, ns, wall_body, 0)
+
+            # ---- narrowphase: shape pairs (fori over pairs) ----------
+            def pair_body(p, _):
+                s1 = sa_arr[p]
+                s2 = sb_arr[p]
+                nv1 = lgeo[0, s1, :][None, :]
+                nv2 = lgeo[0, s2, :][None, :]
+                r1 = lgeo[1, s1, :][None, :]
+                r2 = lgeo[1, s2, :][None, :]
+                act = (lgeo[2, s1, :] * lgeo[2, s2, :])[None, :]
+                v1x = [wvx[s1, v, :][None, :] for v in range(NV)]
+                v1y = [wvy[s1, v, :][None, :] for v in range(NV)]
+                v2x = [wvx[s2, v, :][None, :] for v in range(NV)]
+                v2y = [wvy[s2, v, :][None, :] for v in range(NV)]
+
+                def support_min(vx, vy, nvv, nx, ny):
+                    best = jnp.full_like(nx, BIG)
+                    bx = vx[0]
+                    by = vy[0]
+                    for i in range(NV):
+                        d = vx[i] * nx + vy[i] * ny
+                        d = jnp.where(i < nvv, d, BIG)
+                        take = d < best
+                        best = jnp.where(take, d, best)
+                        bx = jnp.where(take, vx[i], bx)
+                        by = jnp.where(take, vy[i], by)
+                    return best, bx, by
+
+                def face_axes(vx, vy, nvv):
+                    out = []
+                    for i in range(NV):
+                        ax, ay = vx[i], vy[i]
+                        is_last = (nvv - 1.0) == i
+                        bx = jnp.where(is_last, vx[0], vx[(i + 1) % NV])
+                        by = jnp.where(is_last, vy[0], vy[(i + 1) % NV])
+                        ex = bx - ax
+                        ey = by - ay
+                        el = jnp.sqrt(ex * ex + ey * ey)
+                        inv = 1.0 / jnp.maximum(el, 1e-9)
+                        nx = ey * inv
+                        ny = -ex * inv
+                        ok = (i < nvv) & (el > 1e-9)
+                        out.append((nx, ny, ax, ay, ok))
+                    return out
+
+                sep_best = jnp.full_like(nv1, -BIG)
+                nbx = jnp.zeros_like(nv1)
+                nby = jnp.zeros_like(nv1)
+                pxb = jnp.zeros_like(nv1)
+                pyb = jnp.zeros_like(nv1)
+                for nx, ny, ax, ay, ok in face_axes(v1x, v1y, nv1):
+                    smin, sx, sy = support_min(v2x, v2y, nv2, nx, ny)
+                    sep = smin - (ax * nx + ay * ny)
+                    sep = jnp.where(ok, sep, -BIG)
+                    take = sep > sep_best
+                    sep_best = jnp.where(take, sep, sep_best)
+                    nbx = jnp.where(take, nx, nbx)
+                    nby = jnp.where(take, ny, nby)
+                    pxb = jnp.where(take, sx, pxb)
+                    pyb = jnp.where(take, sy, pyb)
+                for nx, ny, ax, ay, ok in face_axes(v2x, v2y, nv2):
+                    smin, sx, sy = support_min(v1x, v1y, nv1, nx, ny)
+                    sep = smin - (ax * nx + ay * ny)
+                    sep = jnp.where(ok, sep, -BIG)
+                    take = sep > sep_best
+                    sep_best = jnp.where(take, sep, sep_best)
+                    nbx = jnp.where(take, -nx, nbx)
+                    nby = jnp.where(take, -ny, nby)
+                    pxb = jnp.where(take, sx, pxb)
+                    pyb = jnp.where(take, sy, pyb)
+
+                def corner_axis(cx, cy, vx, vy, nvv, flip):
+                    best_d2 = jnp.full_like(cx, BIG)
+                    ux = vx[0]
+                    uy = vy[0]
+                    for i in range(NV):
+                        dx = vx[i] - cx
+                        dy = vy[i] - cy
+                        d2 = dx * dx + dy * dy
+                        d2 = jnp.where(i < nvv, d2, BIG)
+                        take = d2 < best_d2
+                        best_d2 = jnp.where(take, d2, best_d2)
+                        ux = jnp.where(take, vx[i], ux)
+                        uy = jnp.where(take, vy[i], uy)
+                    ax = ux - cx
+                    ay = uy - cy
+                    al = jnp.sqrt(ax * ax + ay * ay)
+                    inv = 1.0 / jnp.maximum(al, 1e-9)
+                    return ax * inv * flip, ay * inv * flip, ux, uy
+
+                cnx1, cny1, cux1, cuy1 = corner_axis(
+                    v1x[0], v1y[0], v2x, v2y, nv2, 1.0)
+                sA, _, _ = support_min(v2x, v2y, nv2, cnx1, cny1)
+                sA = sA - (v1x[0] * cnx1 + v1y[0] * cny1)
+                useA = (nv1 == 1.0) & (nv2 > 1.0) & (sA > sep_best)
+                sep_best = jnp.where(useA, sA, sep_best)
+                nbx = jnp.where(useA, cnx1, nbx)
+                nby = jnp.where(useA, cny1, nby)
+                pxb = jnp.where(useA, cux1, pxb)
+                pyb = jnp.where(useA, cuy1, pyb)
+                cnx2, cny2, cux2, cuy2 = corner_axis(
+                    v2x[0], v2y[0], v1x, v1y, nv1, -1.0)
+                sB, _, _ = support_min(v1x, v1y, nv1, -cnx2, -cny2)
+                sB = sB - (v2x[0] * (-cnx2) + v2y[0] * (-cny2))
+                useB = (nv2 == 1.0) & (nv1 > 1.0) & (sB > sep_best)
+                sep_best = jnp.where(useB, sB, sep_best)
+                nbx = jnp.where(useB, cnx2, nbx)
+                nby = jnp.where(useB, cny2, nby)
+                pxb = jnp.where(useB, cux2, pxb)
+                pyb = jnp.where(useB, cuy2, pyb)
+
+                c_dx = v2x[0] - v1x[0]
+                c_dy = v2y[0] - v1y[0]
+                c_d = jnp.sqrt(c_dx * c_dx + c_dy * c_dy)
+                inv_cd = 1.0 / jnp.maximum(c_d, 1e-9)
+                both = (nv1 == 1.0) & (nv2 == 1.0)
+
+                dist = sep_best - (r1 + r2)
+                nxf = jnp.where(both, c_dx * inv_cd, nbx)
+                nyf = jnp.where(both, c_dy * inv_cd, nby)
+                dist = jnp.where(both, c_d - (r1 + r2), dist)
+                pxf = jnp.where(both, v1x[0] + nxf * (r1 + 0.5 * dist), pxb)
+                pyf = jnp.where(both, v1y[0] + nyf * (r1 + 0.5 * dist), pyb)
+                valid = (dist < 0.0) & (act > 0.5)
+
+                ci = n_wall_cand + 2 * p
+                cpx[ci, :] = pxf[0]
+                cpy[ci, :] = pyf[0]
+                cnx[ci, :] = nxf[0]
+                cny[ci, :] = nyf[0]
+                cdst[ci, :] = dist[0]
+                cvld[ci, :] = valid.astype(jnp.float32)[0]
+                cvld[ci + 1, :] = jnp.zeros((E,), jnp.float32)
+                cpx[ci + 1, :] = pxf[0]
+                cpy[ci + 1, :] = pyf[0]
+                cnx[ci + 1, :] = nxf[0]
+                cny[ci + 1, :] = nyf[0]
+                cdst[ci + 1, :] = dist[0]
+                return 0
+
+            if n_pairs:
+                jax.lax.fori_loop(0, n_pairs, pair_body, 0)
+
+            # ---- prestep over the candidate set ----------------------
+            Cv = cvld[:, :]
+            MA = jnp.concatenate([jnp.asarray(m) for m in [
+                np.concatenate(mask_a, 1)]], 0) if False else None
+            # gather per-candidate body values through the static masks
+            A_mat = jnp.asarray(np.concatenate(mask_a, axis=1))  # (KC,NB+1)
+            B_mat = jnp.asarray(np.concatenate(mask_b, axis=1))
+
+            def gat(mat, rows):
+                # (KC, NB+1) x (NB+1, E) -> (KC, E)
+                return jax.lax.dot_general(
+                    mat, rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            deg_per_cand = Cv                       # (KC, E)
+            deg = gat(A_mat.T @ np.eye(1) if False else A_mat.T,
+                      jnp.zeros((kc, E))) if False else None
+            # degree per body: sum over candidates of valid * mask
+            degA = jax.lax.dot_general(
+                A_mat.T, Cv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            degB = jax.lax.dot_general(
+                B_mat.T, Cv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            deg = jnp.maximum(degA + degB, 1.0)     # (NB+1, E)
+
+            pax = gat(A_mat, body_st[0, :, :])
+            pay = gat(A_mat, body_st[1, :, :])
+            pbx = gat(B_mat, body_st[0, :, :])
+            pby = gat(B_mat, body_st[1, :, :])
+            ima = gat(A_mat, inv_m_st * deg)
+            imb = gat(B_mat, inv_m_st * deg)
+            iia = gat(A_mat, inv_i_st * deg)
+            iib = gat(B_mat, inv_i_st * deg)
+            tima = gat(A_mat, inv_m_st)
+            timb = gat(B_mat, inv_m_st)
+            tiia = gat(A_mat, inv_i_st)
+            tiib = gat(B_mat, inv_i_st)
+
+            Cpx = cpx[:, :]
+            Cpy = cpy[:, :]
+            Cnx_ = cnx[:, :]
+            Cny_ = cny[:, :]
+            Cd = cdst[:, :]
+            r1x = Cpx - pax
+            r1y = Cpy - pay
+            r2x = Cpx - pbx
+            r2y = Cpy - pby
+
+            def kscal(axx, axy):
+                rc1 = r1x * axy - r1y * axx
+                rc2 = r2x * axy - r2y * axx
+                return ima + imb + iia * rc1 * rc1 + iib * rc2 * rc2
+
+            n_mass = 1.0 / jnp.maximum(kscal(Cnx_, Cny_), 1e-12)
+            t_mass = 1.0 / jnp.maximum(kscal(-Cny_, Cnx_), 1e-12)
+            cbias = -bias_coef * jnp.minimum(0.0, Cd + C.COLLISION_SLOP) / dt
+
+            # ---- joint prestep ---------------------------------------
+            a0n = body_st[2, 0, :][None, :]
+            gear_bias = jnp.clip(-(a0n - control_angle) / dt,
+                                 -C.ROBOT_GEAR_MAX_BIAS,
+                                 C.ROBOT_GEAR_MAX_BIAS)
+            ca0 = jnp.cos(a0n)
+            sa0 = jnp.sin(a0n)
+            p0x = body_st[0, 0, :][None, :]
+            p0y = body_st[1, 0, :][None, :]
+            pins = []
+            for side in range(2):
+                relx, rely = (float(rg['finger_rel_pos'][side][0]),
+                              float(rg['finger_rel_pos'][side][1]))
+                anx = p0x + ca0 * relx - sa0 * rely
+                any_ = p0y + sa0 * relx + ca0 * rely
+                dx = body_st[0, 1 + side, :][None, :] - anx
+                dy = body_st[1, 1 + side, :][None, :] - any_
+                dist = jnp.sqrt(dx * dx + dy * dy)
+                invd = jnp.where(dist > 1e-9,
+                                 1.0 / jnp.maximum(dist, 1e-9), 0.0)
+                pnx = dx * invd
+                pny = dy * invd
+                prx = anx - p0x
+                pry = any_ - p0y
+                rcn = prx * pny - pry * pnx
+                k = inv_m_st[0:1, :] + inv_m_st[1 + side:2 + side, :] \
+                    + inv_i_st[0:1, :] * rcn * rcn
+                pins.append((pnx, pny, prx, pry,
+                             1.0 / jnp.maximum(k, 1e-12), -dist / dt))
+            lim_bias = []
+            for side in range(2):
+                lo, hi = (float(rg['finger_rot_limits'][side][0]),
+                          float(rg['finger_rot_limits'][side][1]))
+                ld = body_st[2, 1 + side, :][None, :] - a0n
+                pd = jnp.where(ld > hi, hi - ld,
+                               jnp.where(ld < lo, lo - ld, 0.0))
+                lim_bias.append(-pd / dt)
+            # eye spring torque impulse
+            for side in range(2):
+                eb = 3 + side
+                rel_angle = a0n - body_st[2, eb, :][None, :]
+                j_spring = rel_angle * C.EYE_SPRING_STIFFNESS * dt
+                body_st[5, 0, :] = (body_st[5, 0, :][None, :]
+                                    - j_spring * inv_i_st[0:1, :])[0]
+                body_st[5, eb, :] = (body_st[5, eb, :][None, :]
+                                     + j_spring
+                                     * inv_i_st[eb:eb + 1, :])[0]
+
+            # ---- solver iterations -----------------------------------
+            jn_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
+            jt_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
+            jb_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
+
+            jacc0 = (jnp.zeros((1, E), jnp.float32),) * 2 \
+                + (jnp.zeros((1, E), jnp.float32),) \
+                + tuple(jnp.zeros((1, E), jnp.float32) for _ in range(6)) \
+                + tuple(jnp.zeros((1, E), jnp.float32) for _ in range(2)) \
+                + tuple(jnp.zeros((1, E), jnp.float32)
+                        for _ in range(3 * mb))
+
+            def iteration(_i, jacc):
+                (pvx, pvy, gear, pinL, pinR, limL, limR, motL, motR,
+                 eyeL, eyeR, *block_acc) = jacc
+
+                # -- contacts: vectorised Jacobi sweep --
+                gvax = gat(A_mat, body_st[3, :, :])
+                gvay = gat(A_mat, body_st[4, :, :])
+                gwa = gat(A_mat, body_st[5, :, :])
+                gvbx = gat(B_mat, body_st[3, :, :])
+                gvby = gat(B_mat, body_st[4, :, :])
+                gwb = gat(B_mat, body_st[5, :, :])
+                gax = gat(A_mat, body_st[6, :, :])
+                gay = gat(A_mat, body_st[7, :, :])
+                gaw = gat(A_mat, body_st[8, :, :])
+                gbx = gat(B_mat, body_st[6, :, :])
+                gby = gat(B_mat, body_st[7, :, :])
+                gbw = gat(B_mat, body_st[8, :, :])
+
+                vb1x = gax - r1y * gaw
+                vb1y = gay + r1x * gaw
+                vb2x = gbx - r2y * gbw
+                vb2y = gby + r2x * gbw
+                vbn = (vb2x - vb1x) * Cnx_ + (vb2y - vb1y) * Cny_
+                jbn = (cbias - vbn) * n_mass
+                jb_old = jb_acc[:, :]
+                jb_new = jnp.where(Cv > 0.5,
+                                   jnp.maximum(jb_old + jbn, 0.0), jb_old)
+                jb_acc[:, :] = jb_new
+                dbm = jb_new - jb_old
+                dbx = dbm * Cnx_
+                dby = dbm * Cny_
+
+                v1x_ = gvax - r1y * gwa
+                v1y_ = gvay + r1x * gwa
+                v2x_ = gvbx - r2y * gwb
+                v2y_ = gvby + r2x * gwb
+                vrx = v2x_ - v1x_
+                vry = v2y_ - v1y_
+                vrn = vrx * Cnx_ + vry * Cny_
+                jn = -vrn * n_mass
+                jn_old = jn_acc[:, :]
+                jn_new = jnp.where(Cv > 0.5,
+                                   jnp.maximum(jn_old + jn, 0.0), jn_old)
+                jn_acc[:, :] = jn_new
+                jt_lim = fr_col * jn_new
+                vrt = -vrx * Cny_ + vry * Cnx_
+                jt = -vrt * t_mass
+                jt_old = jt_acc[:, :]
+                jt_new = jnp.where(Cv > 0.5,
+                                   jnp.clip(jt_old + jt, -jt_lim, jt_lim),
+                                   jt_old)
+                jt_acc[:, :] = jt_new
+                djn = jn_new - jn_old
+                djt = jt_new - jt_old
+                djx = djn * Cnx_ - djt * Cny_
+                djy = djn * Cny_ + djt * Cnx_
+
+                # accumulate to bodies: (NB+1, KC) x (KC, E)
+                def accum(mat_t, x):
+                    return jax.lax.dot_general(
+                        mat_t, x, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                A_t = jnp.asarray(np.concatenate(mask_a, axis=1).T)
+                B_t = jnp.asarray(np.concatenate(mask_b, axis=1).T)
+                sum_ax = accum(A_t, djx)
+                sum_ay = accum(A_t, djy)
+                sum_bx = accum(B_t, djx)
+                sum_by = accum(B_t, djy)
+                tq_a = accum(A_t, r1x * djy - r1y * djx)
+                tq_b = accum(B_t, r2x * djy - r2y * djx)
+                body_st[3, :, :] = body_st[3, :, :] \
+                    + (sum_bx - sum_ax) * inv_m_st
+                body_st[4, :, :] = body_st[4, :, :] \
+                    + (sum_by - sum_ay) * inv_m_st
+                body_st[5, :, :] = body_st[5, :, :] \
+                    + (tq_b - tq_a) * inv_i_st
+                bsum_ax = accum(A_t, dbx)
+                bsum_ay = accum(A_t, dby)
+                bsum_bx = accum(B_t, dbx)
+                bsum_by = accum(B_t, dby)
+                btq_a = accum(A_t, r1x * dby - r1y * dbx)
+                btq_b = accum(B_t, r2x * dby - r2y * dbx)
+                body_st[6, :, :] = body_st[6, :, :] \
+                    + (bsum_bx - bsum_ax) * inv_m_st
+                body_st[7, :, :] = body_st[7, :, :] \
+                    + (bsum_by - bsum_ay) * inv_m_st
+                body_st[8, :, :] = body_st[8, :, :] \
+                    + (btq_b - btq_a) * inv_i_st
+
+                # -- joints (GS) --
+                def bval(f, i):
+                    return body_st[f, i, :][None, :]
+
+                def bset(f, i, val):
+                    body_st[f, i, :] = val[0]
+
+                im0 = inv_m_st[0:1, :]
+                ii0 = inv_i_st[0:1, :]
+                # pivot servo
+                jx = -(bval(3, 0) - control_ax) / im0
+                jy = -(bval(4, 0) - control_ay) / im0
+                nx_ = pvx + jx
+                ny_ = pvy + jy
+                nrm = jnp.sqrt(nx_ * nx_ + ny_ * ny_)
+                sc = jnp.where(nrm > pivot_jmax,
+                               pivot_jmax / jnp.maximum(nrm, 1e-12), 1.0)
+                nx_ = nx_ * sc
+                ny_ = ny_ * sc
+                bset(3, 0, bval(3, 0) + (nx_ - pvx) * im0)
+                bset(4, 0, bval(4, 0) + (ny_ - pvy) * im0)
+                pvx_n, pvy_n = nx_, ny_
+                # gear servo
+                j = (gear_bias - bval(5, 0)) / ii0
+                gnew = jnp.clip(gear + j, -gear_jmax, gear_jmax)
+                bset(5, 0, bval(5, 0) + (gnew - gear) * ii0)
+                # fingers
+                pin_acc = [pinL, pinR]
+                lim_acc = [limL, limR]
+                mot_acc = [motL, motR]
+                for side in range(2):
+                    fb = 1 + side
+                    imf = inv_m_st[fb:fb + 1, :]
+                    iif = inv_i_st[fb:fb + 1, :]
+                    pnx, pny, prx, pry, pmass, pbias = pins[side]
+                    v1x2 = bval(3, 0) - pry * bval(5, 0)
+                    v1y2 = bval(4, 0) + prx * bval(5, 0)
+                    vrn2 = (bval(3, fb) - v1x2) * pnx \
+                        + (bval(4, fb) - v1y2) * pny
+                    j = (pbias - vrn2) * pmass
+                    pnew = pin_acc[side] + j
+                    djx2 = (pnew - pin_acc[side]) * pnx
+                    djy2 = (pnew - pin_acc[side]) * pny
+                    bset(3, 0, bval(3, 0) - djx2 * im0)
+                    bset(4, 0, bval(4, 0) - djy2 * im0)
+                    bset(5, 0, bval(5, 0)
+                         - (prx * djy2 - pry * djx2) * ii0)
+                    bset(3, fb, bval(3, fb) + djx2 * imf)
+                    bset(4, fb, bval(4, fb) + djy2 * imf)
+                    pin_acc[side] = pnew
+                    # rotary limit
+                    lb = lim_bias[side]
+                    isum = 1.0 / (ii0 + iif)
+                    wr = bval(5, fb) - bval(5, 0)
+                    j = -(lb + wr) * isum
+                    lnew = jnp.where(lb < 0.0,
+                                     jnp.maximum(lim_acc[side] + j, 0.0),
+                                     jnp.minimum(lim_acc[side] + j, 0.0))
+                    lnew = jnp.where(lb == 0.0, 0.0, lnew)
+                    dj2 = jnp.where(lb == 0.0, 0.0, lnew - lim_acc[side])
+                    bset(5, 0, bval(5, 0) - dj2 * ii0)
+                    bset(5, fb, bval(5, fb) + dj2 * iif)
+                    lim_acc[side] = lnew
+                    # motor
+                    wr = bval(5, fb) - bval(5, 0) + motor_rate[side]
+                    j = -wr * isum
+                    mnew = jnp.clip(mot_acc[side] + j, -motor_jmax,
+                                    motor_jmax)
+                    bset(5, 0, bval(5, 0) - (mnew - mot_acc[side]) * ii0)
+                    bset(5, fb, bval(5, fb) + (mnew - mot_acc[side]) * iif)
+                    mot_acc[side] = mnew
+                # eye damping
+                eye_acc = [eyeL, eyeR]
+                for side in range(2):
+                    eb = 3 + side
+                    iie = inv_i_st[eb:eb + 1, :]
+                    isum = 1.0 / (ii0 + iie)
+                    wrn = bval(5, 0) - bval(5, eb)
+                    wd = (eye_acc[side] - wrn) * eye_wcoef
+                    eye_acc[side] = wrn + wd
+                    jd = wd * isum
+                    bset(5, 0, bval(5, 0) + jd * ii0)
+                    bset(5, eb, bval(5, eb) - jd * iie)
+                # block dampers
+                new_block_acc = list(block_acc)
+                for b in range(mb):
+                    n_i = N_ROBOT_BODIES + b
+                    imn = inv_m_st[n_i:n_i + 1, :]
+                    iin = inv_i_st[n_i:n_i + 1, :]
+                    bx_a = new_block_acc[3 * b]
+                    by_a = new_block_acc[3 * b + 1]
+                    bg_a = new_block_acc[3 * b + 2]
+                    safe_m = jnp.where(imn > 0, imn, 1.0)
+                    jx2 = jnp.where(imn > 0, -bval(3, n_i) / safe_m, 0.0)
+                    jy2 = jnp.where(imn > 0, -bval(4, n_i) / safe_m, 0.0)
+                    nx2 = bx_a + jx2
+                    ny2 = by_a + jy2
+                    nrm2 = jnp.sqrt(nx2 * nx2 + ny2 * ny2)
+                    sc2 = jnp.where(nrm2 > bp_jmax,
+                                    bp_jmax / jnp.maximum(nrm2, 1e-12), 1.0)
+                    nx2 = nx2 * sc2
+                    ny2 = ny2 * sc2
+                    bset(3, n_i, bval(3, n_i) + (nx2 - bx_a) * imn)
+                    bset(4, n_i, bval(4, n_i) + (ny2 - by_a) * imn)
+                    safe_i = jnp.where(iin > 0, iin, 1.0)
+                    j2 = jnp.where(iin > 0, -bval(5, n_i) / safe_i, 0.0)
+                    gnew2 = jnp.clip(bg_a + j2, -bg_jmax, bg_jmax)
+                    bset(5, n_i, bval(5, n_i) + (gnew2 - bg_a) * iin)
+                    new_block_acc[3 * b] = nx2
+                    new_block_acc[3 * b + 1] = ny2
+                    new_block_acc[3 * b + 2] = gnew2
+
+                return (pvx_n, pvy_n, gnew, pin_acc[0], pin_acc[1],
+                        lim_acc[0], lim_acc[1], mot_acc[0], mot_acc[1],
+                        eye_acc[0], eye_acc[1], *new_block_acc)
+
+            jax.lax.fori_loop(0, iterations, iteration, jacc0)
+            return carry
+
+        jax.lax.fori_loop(0, phys_steps, substep, 0)
+
+        # ---- write back ----------------------------------------------
+        for i in range(nb):
+            out_ref[L.pos_x + i, :] = body_st[0, i, :]
+            out_ref[L.pos_y + i, :] = body_st[1, i, :]
+            out_ref[L.angle + i, :] = body_st[2, i, :]
+            out_ref[L.vel_x + i, :] = body_st[3, i, :]
+            out_ref[L.vel_y + i, :] = body_st[4, i, :]
+            out_ref[L.omega + i, :] = body_st[5, i, :]
+            out_ref[L.vb_x + i, :] = body_st[6, i, :]
+            out_ref[L.vb_y + i, :] = body_st[7, i, :]
+            out_ref[L.wb + i, :] = body_st[8, i, :]
+        for r in range(L.tspeed, L.rows):
+            out_ref[r, :] = state_ref[r, :]
+
+    return kernel, L, kc, ns
+
+
+@functools.lru_cache(maxsize=None)
+def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
+    kernel, L, kc, ns = _make_kernel(mb, phys_steps, iterations)
+    nb = L.nb
+
+    def call(packed):
+        B = packed.shape[-1]
+        grid = (B // env_tile,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L.rows, B), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((9, nb + 1, env_tile), jnp.float32),   # body_st
+                pltpu.VMEM((3 + 2 * NV, ns, env_tile),
+                           jnp.float32),                          # lgeo
+                pltpu.VMEM((ns, NV, env_tile), jnp.float32),      # wvx
+                pltpu.VMEM((ns, NV, env_tile), jnp.float32),      # wvy
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # cpx
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # cpy
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # cnx
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # cny
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # cdst
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # cvld
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # jn
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # jt
+                pltpu.VMEM((kc, env_tile), jnp.float32),          # jb
+            ],
+        )(packed)
+
+    return call
+
+
+def control_step_pallas(state: EnvState, action,
+                        phys_steps: int = C.PHYS_STEPS,
+                        iterations: int = C.PHYS_ITER,
+                        env_tile: int = ENV_TILE) -> EnvState:
+    """Batched control step through the Pallas kernel.  `state` is a
+    BATCHED EnvState (leading env axis), `action` (B,) int32."""
+    action = jnp.asarray(action, jnp.int32)
+    state = state.replace(
+        target_speed=jnp.asarray(C.ACTION_TARGET_SPEED)[action],
+        rel_turn_angle=jnp.asarray(C.ACTION_TURN_ANGLE)[action],
+        target_finger_angle=jnp.asarray(C.ACTION_FINGER_ANGLE)[action],
+    )
+    packed = pack_state(state)
+    call = _build(state.max_blocks, phys_steps, iterations, env_tile)
+    out = call(packed)
+    new_state = unpack_state(out, state)
+    return new_state.replace(t=state.t + 1)

@@ -72,8 +72,9 @@ def test_layout_no_overlaps():
         pts = pos[e][act[e]]
         d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
         np.fill_diagonal(d, 1.0)
-        # block bounding radius <= 0.156; tangent circles can sit at ~0.24
-        assert d.min() > 0.18, f'env {e} min dist {d.min()}'
+        # non-overlap: tangent circles sit at 0.24; interlocking star tips
+        # can bring centres closer, but never below ~0.1
+        assert d.min() > 0.1, f'env {e} min dist {d.min()}'
         assert np.all(np.abs(pts) <= 1.0)
 
 
