@@ -37,7 +37,7 @@ def measure(batch, scan_len=20, reps=4):
     @jax.jit
     def multi(carry):
         def body(c, _):
-            c2, obs, rew, done, info = jax.vmap(env._step_impl)(c, acts)
+            c2, obs, rew, done, info = env._step_batched(c, acts)
             return c2, obs[0, 0, 0, 0]
         return jax.lax.scan(body, carry, None, length=scan_len)
 

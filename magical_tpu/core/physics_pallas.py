@@ -130,7 +130,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
               for n in range(nb + 1)]
     mask_b = [np.asarray(bb_tab == n, np.float32)[:, None]
               for n in range(nb + 1)]
-    fr_col = jnp.asarray(np.asarray(fr_tab, np.float32)[:, None])
+    fr_np = np.asarray(fr_tab, np.float32)[:, None]
 
     robot_local = np.zeros((5, NV, 2), np.float32)
     for side in range(2):
@@ -150,12 +150,8 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     WALLS = [(1.0, 0.0, -1.0), (-1.0, 0.0, -1.0),
              (0.0, 1.0, -1.0), (0.0, -1.0, -1.0)]
 
-    # constant tables for the pair fori loop
-    sa_arr = jnp.asarray(sa_tab.astype(np.int32))
-    sb_arr = jnp.asarray(sb_tab.astype(np.int32))
-    slot_body_arr = jnp.asarray(slot_body.astype(np.int32))
-
-    def kernel(state_ref, out_ref,
+    def kernel(state_ref, sa_ref, sb_ref, sbody_ref, amat_ref, bmat_ref,
+               fr_ref, out_ref,
                body_st, lgeo, wvx, wvy,
                cpx, cpy, cnx, cny, cdst, cvld,
                jn_acc, jt_acc, jb_acc):
@@ -283,7 +279,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
             # ---- world verts per slot (fori over slots) --------------
             def wv_body(s, _):
-                bi = slot_body_arr[s]
+                bi = sbody_ref[s, 0]
                 px = body_st[0, bi, :][None, :]
                 py = body_st[1, bi, :][None, :]
                 aa = body_st[2, bi, :][None, :]
@@ -339,8 +335,8 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
             # ---- narrowphase: shape pairs (fori over pairs) ----------
             def pair_body(p, _):
-                s1 = sa_arr[p]
-                s2 = sb_arr[p]
+                s1 = sa_ref[p, 0]
+                s2 = sb_ref[p, 0]
                 nv1 = lgeo[0, s1, :][None, :]
                 nv2 = lgeo[0, s2, :][None, :]
                 r1 = lgeo[1, s1, :][None, :]
@@ -481,11 +477,8 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
             # ---- prestep over the candidate set ----------------------
             Cv = cvld[:, :]
-            MA = jnp.concatenate([jnp.asarray(m) for m in [
-                np.concatenate(mask_a, 1)]], 0) if False else None
-            # gather per-candidate body values through the static masks
-            A_mat = jnp.asarray(np.concatenate(mask_a, axis=1))  # (KC,NB+1)
-            B_mat = jnp.asarray(np.concatenate(mask_b, axis=1))
+            A_mat = amat_ref[:, :]                  # (KC, NB+1)
+            B_mat = bmat_ref[:, :]
 
             def gat(mat, rows):
                 # (KC, NB+1) x (NB+1, E) -> (KC, E)
@@ -493,17 +486,14 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     mat, rows, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            deg_per_cand = Cv                       # (KC, E)
-            deg = gat(A_mat.T @ np.eye(1) if False else A_mat.T,
-                      jnp.zeros((kc, E))) if False else None
+            def accum(mat, x):
+                # contract over candidates: (KC,NB+1)^T (KC,E) -> (NB+1,E)
+                return jax.lax.dot_general(
+                    mat, x, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
             # degree per body: sum over candidates of valid * mask
-            degA = jax.lax.dot_general(
-                A_mat.T, Cv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            degB = jax.lax.dot_general(
-                B_mat.T, Cv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            deg = jnp.maximum(degA + degB, 1.0)     # (NB+1, E)
+            deg = jnp.maximum(accum(A_mat, Cv) + accum(B_mat, Cv), 1.0)
 
             pax = gat(A_mat, body_st[0, :, :])
             pay = gat(A_mat, body_st[1, :, :])
@@ -641,7 +631,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 jn_new = jnp.where(Cv > 0.5,
                                    jnp.maximum(jn_old + jn, 0.0), jn_old)
                 jn_acc[:, :] = jn_new
-                jt_lim = fr_col * jn_new
+                jt_lim = fr_ref[:, :] * jn_new
                 vrt = -vrx * Cny_ + vry * Cnx_
                 jt = -vrt * t_mass
                 jt_old = jt_acc[:, :]
@@ -654,32 +644,25 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 djx = djn * Cnx_ - djt * Cny_
                 djy = djn * Cny_ + djt * Cnx_
 
-                # accumulate to bodies: (NB+1, KC) x (KC, E)
-                def accum(mat_t, x):
-                    return jax.lax.dot_general(
-                        mat_t, x, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-
-                A_t = jnp.asarray(np.concatenate(mask_a, axis=1).T)
-                B_t = jnp.asarray(np.concatenate(mask_b, axis=1).T)
-                sum_ax = accum(A_t, djx)
-                sum_ay = accum(A_t, djy)
-                sum_bx = accum(B_t, djx)
-                sum_by = accum(B_t, djy)
-                tq_a = accum(A_t, r1x * djy - r1y * djx)
-                tq_b = accum(B_t, r2x * djy - r2y * djx)
+                # accumulate to bodies: contract over candidates
+                sum_ax = accum(A_mat, djx)
+                sum_ay = accum(A_mat, djy)
+                sum_bx = accum(B_mat, djx)
+                sum_by = accum(B_mat, djy)
+                tq_a = accum(A_mat, r1x * djy - r1y * djx)
+                tq_b = accum(B_mat, r2x * djy - r2y * djx)
                 body_st[3, :, :] = body_st[3, :, :] \
                     + (sum_bx - sum_ax) * inv_m_st
                 body_st[4, :, :] = body_st[4, :, :] \
                     + (sum_by - sum_ay) * inv_m_st
                 body_st[5, :, :] = body_st[5, :, :] \
                     + (tq_b - tq_a) * inv_i_st
-                bsum_ax = accum(A_t, dbx)
-                bsum_ay = accum(A_t, dby)
-                bsum_bx = accum(B_t, dbx)
-                bsum_by = accum(B_t, dby)
-                btq_a = accum(A_t, r1x * dby - r1y * dbx)
-                btq_b = accum(B_t, r2x * dby - r2y * dbx)
+                bsum_ax = accum(A_mat, dbx)
+                bsum_ay = accum(A_mat, dby)
+                bsum_bx = accum(B_mat, dbx)
+                bsum_by = accum(B_mat, dby)
+                btq_a = accum(A_mat, r1x * dby - r1y * dbx)
+                btq_b = accum(B_mat, r2x * dby - r2y * dbx)
                 body_st[6, :, :] = body_st[6, :, :] \
                     + (bsum_bx - bsum_ax) * inv_m_st
                 body_st[7, :, :] = body_st[7, :, :] \
@@ -822,13 +805,33 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
         for r in range(L.tspeed, L.rows):
             out_ref[r, :] = state_ref[r, :]
 
-    return kernel, L, kc, ns
+    tables = dict(
+        sa=np.asarray(sa_tab, np.int32)[:, None],
+        sb=np.asarray(sb_tab, np.int32)[:, None],
+        sbody=np.asarray(slot_body, np.int32)[:, None],
+        amat=np.concatenate(mask_a, axis=1).astype(np.float32),
+        bmat=np.concatenate(mask_b, axis=1).astype(np.float32),
+        fr=fr_np,
+    )
+    return kernel, L, kc, ns, tables
 
 
 @functools.lru_cache(maxsize=None)
 def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
-    kernel, L, kc, ns = _make_kernel(mb, phys_steps, iterations)
+    kernel, L, kc, ns, tables = _make_kernel(mb, phys_steps, iterations)
     nb = L.nb
+    sa_in = tables['sa'] if len(tables['sa']) else \
+        np.zeros((1, 1), np.int32)
+    sb_in = tables['sb'] if len(tables['sb']) else \
+        np.zeros((1, 1), np.int32)
+    sbody_in = tables['sbody']
+    amat_in = tables['amat']
+    bmat_in = tables['bmat']
+    fr_in = tables['fr']
+
+    def rep(shape, space=pltpu.VMEM):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda e: (0,) * nd, memory_space=space)
 
     def call(packed):
         B = packed.shape[-1]
@@ -837,7 +840,13 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
-                                   memory_space=pltpu.VMEM)],
+                                   memory_space=pltpu.VMEM),
+                      rep(sa_in.shape, pltpu.SMEM),
+                      rep(sb_in.shape, pltpu.SMEM),
+                      rep(sbody_in.shape, pltpu.SMEM),
+                      rep(amat_in.shape),
+                      rep(bmat_in.shape),
+                      rep(fr_in.shape)],
             out_specs=pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((L.rows, B), jnp.float32),
@@ -857,7 +866,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jt
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jb
             ],
-        )(packed)
+        )(packed, sa_in, sb_in, sbody_in, amat_in, bmat_in, fr_in)
 
     return call
 

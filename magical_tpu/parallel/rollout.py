@@ -38,8 +38,7 @@ def rollout_episodes(env: BatchedEnv, policy_fn: Callable, key,
         def body(c, k):
             carry, obs = c
             act = policy_fn(obs, k)
-            carry, obs, rew, done, info = jax.vmap(env._step_impl)(carry,
-                                                                   act)
+            carry, obs, rew, done, info = env._step_batched(carry, act)
             return (carry, obs), info['eval_score']
 
         pkeys = jax.random.split(pkey, length)

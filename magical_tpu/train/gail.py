@@ -73,8 +73,8 @@ class GAILTrainer:
             act = jax.random.categorical(k, logits).astype(jnp.int32)
             logp = jax.nn.log_softmax(logits)
             alp = jnp.take_along_axis(logp, act[:, None], 1)[:, 0]
-            carry2, obs2, _, done, info = jax.vmap(self.env._step_impl)(
-                carry, act)
+            carry2, obs2, _, done, info = self.env._step_batched(carry,
+                                                                 act)
             out = dict(obs=obs, act=act, logp=alp, value=value, done=done)
             return (carry2, obs2), out
 
