@@ -82,13 +82,18 @@ class BatchedEnv:
         # MoveToCorner adds the robot before its block (draw order)
         self.robot_first = (name.task == 'MoveToCorner')
 
+        # The Pallas kernels are validated for correctness but the remote
+        # Mosaic compile service on this round's runtime is unstable
+        # (helper OOM/wedges); opt in explicitly until that settles.
+        import os
+        pallas_ok = os.environ.get('MAGICAL_TPU_PALLAS', '0') == '1'
         on_tpu = jax.default_backend() not in ('cpu',)
         if physics == 'auto':
-            physics = 'pallas' if (on_tpu and self.task.max_blocks <= 4) \
-                else 'xla'
+            physics = 'pallas' if (pallas_ok and on_tpu
+                                   and self.task.max_blocks <= 4) else 'xla'
         if renderer == 'auto':
-            renderer = 'pallas' if (on_tpu and self.fidelity == 'lo') \
-                else 'xla'
+            renderer = 'pallas' if (pallas_ok and on_tpu
+                                    and self.fidelity == 'lo') else 'xla'
         self.physics = physics
         self.renderer = renderer
 
