@@ -80,7 +80,9 @@ def test_poly_poly_rotated_corner():
     pts, ns, ds, vs = col.poly_poly(a, 4, 0.0, d2, 4, 0.0)
     vs = np.asarray(vs)
     assert vs.any()
-    assert np.min(np.asarray(ds)[vs]) == pytest.approx(s - 0.6, abs=1e-5)
+    # leftmost diamond vertex sits at x = 1.1 - s, box face at 0.5:
+    # penetration distance = (1.1 - s) - 0.5 = 0.6 - s (negative)
+    assert np.min(np.asarray(ds)[vs]) == pytest.approx(0.6 - s, abs=1e-5)
 
 
 def test_wall_contacts():
