@@ -82,17 +82,19 @@ class BatchedEnv:
         # MoveToCorner adds the robot before its block (draw order)
         self.robot_first = (name.task == 'MoveToCorner')
 
-        # The Pallas kernels are validated for correctness but the remote
-        # Mosaic compile service on this round's runtime is unstable
-        # (helper OOM/wedges); opt in explicitly until that settles.
+        # Pallas physics is validated (matches the XLA path, ~150x faster
+        # on this runtime) and on by default for tasks whose contact
+        # tables fit VMEM.  The Pallas renderer's remote Mosaic compile is
+        # still unreliable on this round's toolchain -> opt-in.
         import os
-        pallas_ok = os.environ.get('MAGICAL_TPU_PALLAS', '0') == '1'
+        no_pallas = os.environ.get('MAGICAL_TPU_PALLAS', '') == '0'
+        pallas_render = os.environ.get('MAGICAL_TPU_PALLAS', '') == '1'
         on_tpu = jax.default_backend() not in ('cpu',)
         if physics == 'auto':
-            physics = 'pallas' if (pallas_ok and on_tpu
+            physics = 'pallas' if (on_tpu and not no_pallas
                                    and self.task.max_blocks <= 4) else 'xla'
         if renderer == 'auto':
-            renderer = 'pallas' if (pallas_ok and on_tpu
+            renderer = 'pallas' if (pallas_render and on_tpu
                                     and self.fidelity == 'lo') else 'xla'
         self.physics = physics
         self.renderer = renderer

@@ -284,11 +284,22 @@ def render_frame(display, pix, scale, res: int, aa: bool):
         img = img * (1.0 - alpha[..., None]) + colr * alpha[..., None]
         return img, None
 
-    img, _ = jax.lax.scan(blend, img,
-                          (display['verts'], display['nv'],
-                           display['radius'], display['color'],
-                           display['kind'], display['lw'],
-                           display['active']))
+    n_prims = display['nv'].shape[0]
+    if n_prims <= 160:
+        # Unrolled: XLA fuses the whole blend chain into a single pass
+        # over the pixels.  A lax.scan here would carry the full frame
+        # through HBM once per prim (~30x the bandwidth).
+        for p in range(n_prims):
+            img, _ = blend(img, (display['verts'][p], display['nv'][p],
+                                 display['radius'][p], display['color'][p],
+                                 display['kind'][p], display['lw'][p],
+                                 display['active'][p]))
+    else:
+        img, _ = jax.lax.scan(blend, img,
+                              (display['verts'], display['nv'],
+                               display['radius'], display['color'],
+                               display['kind'], display['lw'],
+                               display['active']))
     return img
 
 
