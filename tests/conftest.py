@@ -8,6 +8,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 # cached executables make repeat test runs fast.
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jaxcc')
 
+# Pin tests to the XLA physics/render paths: the Pallas kernels are
+# cross-validated explicitly, and their first-compile latency on the
+# tunnel-attached runtime would dominate suite time.
+os.environ.setdefault('MAGICAL_TPU_PALLAS', '0')
+
 # To run the sharding tests against a virtual multi-device CPU mesh
 # (as the driver's dryrun does), set:
 #   MAGICAL_TPU_TEST_CPU=1  ->  JAX_PLATFORMS=cpu + 8 host devices
