@@ -217,13 +217,23 @@ def ego_pixel_coords(state: EnvState, res: int):
 
 def _prim_sdf(pix, verts, nv, radius):
     """Signed distance (approx; exact sign) from pixel centres to a convex
-    prim.  pix: (..., 2); verts: (NV, 2)."""
+    prim.  pix: (..., 2); verts: (NV, 2).
+
+    Faces are folded with a running max (no (..., NV) intermediate — at
+    batch x 96 x 96 x NV that materialisation dominates HBM traffic)."""
     is_circle = nv == 1
-    d_circ = jnp.linalg.norm(pix - verts[0], axis=-1) - radius
+    px = pix[..., 0]
+    py = pix[..., 1]
+    d_circ = jnp.sqrt((px - verts[0, 0]) ** 2
+                      + (py - verts[0, 1]) ** 2) - radius
     v0, _, n, valid = col._poly_edges(verts, nv)
-    d_faces = jnp.einsum('...i,fi->...f', pix, n) \
-        - jnp.einsum('fi,fi->f', v0, n)
-    d_poly = jnp.max(jnp.where(valid, d_faces, -1e9), axis=-1) - radius
+    offs = jnp.einsum('fi,fi->f', v0, n)
+    d_poly = None
+    for f in range(verts.shape[0]):
+        df = jnp.where(valid[f], px * n[f, 0] + py * n[f, 1] - offs[f],
+                       -1e9)
+        d_poly = df if d_poly is None else jnp.maximum(d_poly, df)
+    d_poly = d_poly - radius
     return jnp.where(is_circle, d_circ, d_poly)
 
 
@@ -253,33 +263,61 @@ def _box_arclen(pix, verts):
     return best_s
 
 
-def render_frame(display, pix, scale, res: int, aa: bool):
+def static_prim_meta(max_blocks: int, max_goals: int):
+    """Compile-time (kind, lw) per display-list slot — the draw-order
+    structure is static per task, only geometry/colours are dynamic."""
+    kinds = [KIND_FILL, KIND_LINE]                       # arena
+    lws = [ARENA_BORDER_LW, ARENA_BORDER_LW]
+    lws[0] = 0.0
+    for _g in range(max_goals):
+        kinds += [KIND_FILL, KIND_LINE_STIPPLE]
+        lws += [0.0, GOAL_BORDER_LW]
+    n_robot = 8 + 2 + 4                                   # fingers+body+eyes
+    n_block = 2 * KSUB * max_blocks
+    kinds += [KIND_FILL] * (n_robot + n_block)
+    lws += [0.0] * (n_robot + n_block)
+    return tuple(kinds), tuple(lws)
+
+
+def render_frame(display, pix, scale, res: int, aa: bool,
+                 static_meta=None):
     """Rasterise the display list over pixel-centre world coords `pix`
-    ((res,res,2)); returns float image (res,res,3) in [0,1]."""
+    ((res,res,2)); returns float image (res,res,3) in [0,1].
+
+    `static_meta`: optional (kinds, lws) tuples from static_prim_meta —
+    lets the unrolled path skip line/stipple math for the (vast
+    majority of) plain filled prims."""
     img = jnp.broadcast_to(jnp.asarray(C.BACKGROUND_COLOUR),
                            (res, res, 3))
     # pixel scale for this resolution relative to the 384 reference
     lw_scale = res / 384.0
 
-    def blend(img, p):
+    def blend(img, p, static_kind=None, static_lw=None):
         verts, nv, radius, colr, kind, lw, active = p
         d = _prim_sdf(pix, verts, nv, radius)
-        if aa:
-            alpha_fill = jnp.clip(0.5 - d * scale, 0.0, 1.0)
+        if static_kind is not None and static_kind == KIND_FILL:
+            if aa:
+                alpha = jnp.clip(0.5 - d * scale, 0.0, 1.0)
+            else:
+                alpha = (d < 0.0).astype(jnp.float32)
         else:
-            alpha_fill = (d < 0.0).astype(jnp.float32)
-        # outlines: distance band around the boundary, always smoothed
-        # (GL_LINE_SMOOTH is enabled in the reference viewer)
-        half_lw_w = jnp.maximum(lw * lw_scale, 1.0) / (2.0 * scale)
-        alpha_line = jnp.clip((half_lw_w - jnp.abs(d)) * scale + 0.5,
-                              0.0, 1.0)
-        is_line = kind != KIND_FILL
-        alpha = jnp.where(is_line, alpha_line, alpha_fill)
-        # stipple: 8 px on / 8 px off along the perimeter (pattern 0x00FF)
-        s = _box_arclen(pix, verts) * scale
-        stipple_on = (jnp.floor(s) % 16.0) < 8.0
-        alpha = jnp.where(kind == KIND_LINE_STIPPLE,
-                          alpha * stipple_on.astype(jnp.float32), alpha)
+            if aa:
+                alpha_fill = jnp.clip(0.5 - d * scale, 0.0, 1.0)
+            else:
+                alpha_fill = (d < 0.0).astype(jnp.float32)
+            # outlines: smoothed band (GL_LINE_SMOOTH in the reference)
+            half_lw_w = jnp.maximum(lw * lw_scale, 1.0) / (2.0 * scale)
+            alpha_line = jnp.clip((half_lw_w - jnp.abs(d)) * scale + 0.5,
+                                  0.0, 1.0)
+            is_line = kind != KIND_FILL
+            alpha = jnp.where(is_line, alpha_line, alpha_fill)
+            # stipple: 8 px on / off along the perimeter (pattern 0x00FF)
+            if static_kind is None or static_kind == KIND_LINE_STIPPLE:
+                s = _box_arclen(pix, verts) * scale
+                stipple_on = (jnp.floor(s) % 16.0) < 8.0
+                alpha = jnp.where(kind == KIND_LINE_STIPPLE,
+                                  alpha * stipple_on.astype(jnp.float32),
+                                  alpha)
         alpha = jnp.where(active, alpha, 0.0)
         img = img * (1.0 - alpha[..., None]) + colr * alpha[..., None]
         return img, None
@@ -289,11 +327,14 @@ def render_frame(display, pix, scale, res: int, aa: bool):
         # Unrolled: XLA fuses the whole blend chain into a single pass
         # over the pixels.  A lax.scan here would carry the full frame
         # through HBM once per prim (~30x the bandwidth).
+        kinds = static_meta[0] if static_meta else [None] * n_prims
+        lws = static_meta[1] if static_meta else [None] * n_prims
         for p in range(n_prims):
             img, _ = blend(img, (display['verts'][p], display['nv'][p],
                                  display['radius'][p], display['color'][p],
                                  display['kind'][p], display['lw'][p],
-                                 display['active'][p]))
+                                 display['active'][p]),
+                           static_kind=kinds[p], static_lw=lws[p])
     else:
         img, _ = jax.lax.scan(blend, img,
                               (display['verts'], display['nv'],
@@ -325,15 +366,20 @@ def render_views(state: EnvState, max_blocks: int, max_goals: int,
     display = build_display_list(state, max_blocks, max_goals, robot_first)
     out = {}
     for view in views:
+        # robot/block prims are all plain fills, so the static meta is
+        # order-independent between the robot_first layouts
+        meta = static_prim_meta(max_blocks, max_goals)
         if fidelity == 'hi':
             r = res * 4
             pix, scale = (allo_pixel_coords(r) if view == 'allo'
                           else ego_pixel_coords(state, r))
-            img = render_frame(display, pix, scale, r, aa=False)
+            img = render_frame(display, pix, scale, r, aa=False,
+                               static_meta=meta)
             out[view] = downsample4(to_uint8(img))
         else:
             pix, scale = (allo_pixel_coords(res) if view == 'allo'
                           else ego_pixel_coords(state, res))
-            img = render_frame(display, pix, scale, res, aa=True)
+            img = render_frame(display, pix, scale, res, aa=True,
+                               static_meta=meta)
             out[view] = to_uint8(img)
     return out
