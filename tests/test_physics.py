@@ -25,8 +25,11 @@ def base_state():
 
 
 def test_robot_drives_forward(step, base_state):
+    # 7 steps: the finger tips (~0.36 ahead of the body centre) reach the
+    # top wall during step 8, so stop just short of contact here (the
+    # wall interaction itself is covered by test_robot_wall_recoil).
     s = base_state
-    for _ in range(8):
+    for _ in range(7):
         s = step(s, A['UpOpen'])
     pos = np.asarray(s.pos[0])
     # robot faces +y at angle 0 (velocity = rotation of (0, speed))
@@ -34,6 +37,22 @@ def test_robot_drives_forward(step, base_state):
     assert abs(pos[0]) < 0.02
     # speed approaches the UP target (4 * radius = 0.8), force-limited
     assert 0.3 < float(s.vel[0, 1]) <= 0.85
+
+
+def test_robot_wall_recoil(step, base_state):
+    """Driving fingers-first into a wall: the error_bias=0 finger pin
+    joints snap the body back (full -dist/dt bias correction, the
+    reference's settings, entities.py:334-341) but the robot must stay
+    inside the arena and the recoil speed is bounded by the servo
+    target."""
+    s = base_state
+    for _ in range(16):
+        s = step(s, A['UpOpen'])
+        # never penetrates: finger tips reach ~0.37 beyond the centre
+        assert float(s.pos[0, 1]) < 0.67
+        assert abs(float(s.vel[0, 1])) <= 1.0
+    # still pressed near the wall region overall despite recoil cycles
+    assert float(s.pos[0, 1]) > 0.35
 
 
 def test_robot_reverses(step, base_state):
