@@ -27,7 +27,7 @@ def main(batch=1024, reps=8):
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.jit(jax.vmap(
         lambda k: task.reset_fn(k, task.flags_for('Demo'))))(keys)
-    mb, mg, rf = task.max_blocks, task.max_goals, task.robot_first
+    mb, mg, rf = task.max_blocks, task.max_goals, True  # MoveToCorner
 
     @jax.jit
     def xla_path(st):

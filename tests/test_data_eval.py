@@ -126,3 +126,34 @@ def test_evaluation_protocol():
     assert (frame['mean_score'] <= frame['ci95_upper']).all()
     tex = E.latexify_results(frame)
     assert 'tabular' in tex and 'fake-algo' in tex
+
+
+def test_convert_demos_multidiscrete_to_flat(tmp_path):
+    # old multi-discrete triples (ud, lr, grip) -> flat 18-id actions,
+    # preserving the reference's canonical ordering (entities.py:162-190)
+    from magical_tpu import constants as C
+    from magical_tpu.tools import convert_demos as CD
+    old = np.array([[0, 0, 0],    # open, no move         -> id 0
+                    [1, 0, 0],    # up + open             -> id 1
+                    [2, 2, 1],    # down + right + close  -> id 17
+                    [0, 1, 1]],   # left + close          -> id 12
+                   np.int64)
+    flat = CD.convert_acts(old)
+    np.testing.assert_array_equal(flat, [0, 1, 17, 12])
+    # cross-check against ACTION_TABLE columns (up,down,left,right,open,close)
+    for (ud, lr, gr), aid in zip(old, flat):
+        up, dn, lf, rt, op, cl = C.ACTION_TABLE[aid]
+        assert (up, dn) == ((ud == 1), (ud == 2))
+        assert (lf, rt) == ((lr == 1), (lr == 2))
+        assert (op, cl) == ((gr == 0), (gr == 1))
+
+    src = tmp_path / 'src'
+    src.mkdir()
+    traj = _fake_traj(T_steps=4)
+    traj = traj._replace(acts=old)
+    T.save_demo(str(src / 'demo-X-0.pkl.gz'), 'MoveToCorner-Demo-v0',
+                traj, 1.0)
+    out = CD.convert_tree(str(src), str(tmp_path / 'dst'), verbose=False)
+    (loaded,) = list(T.load_demos(out))
+    np.testing.assert_array_equal(loaded['trajectory'].acts, [0, 1, 17, 12])
+    assert loaded['trajectory'].acts.dtype == np.int32
