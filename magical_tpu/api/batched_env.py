@@ -168,7 +168,8 @@ class BatchedEnv:
             reward = jax.vmap(debug_shaped_reward)(state)
         else:
             reward = jnp.zeros((B,), jnp.float32)
-        info = {'eval_score': score}
+        info = {'eval_score': score,
+                'n_placement_failures': state.place_fail}
         return EnvCarry(state=state, frames=frames), obs, reward, done, info
 
     def _step_impl(self, carry: EnvCarry, action):
@@ -184,7 +185,8 @@ class BatchedEnv:
             reward = debug_shaped_reward(state)
         else:
             reward = jnp.float32(0.0)
-        info = {'eval_score': score}
+        info = {'eval_score': score,
+                'n_placement_failures': state.place_fail}
         return EnvCarry(state=state, frames=frames), obs, reward, done, info
 
     # -- convenience -------------------------------------------------------

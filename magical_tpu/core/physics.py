@@ -42,7 +42,8 @@ import numpy as np
 from magical_tpu import constants as C
 from magical_tpu import geometry as G
 from magical_tpu.core import collision as col
-from magical_tpu.core.state import EnvState, N_ROBOT_BODIES, inv_mass_arrays
+from magical_tpu.core.state import (EnvState, N_ROBOT_BODIES,
+                                    inv_mass_arrays, max_contacts)
 
 KSUB = G.KSUB
 NV = G.NV
@@ -107,12 +108,6 @@ def pair_table(max_blocks: int):
                     sa.append(5 + b1 * KSUB + k1)
                     sb.append(5 + b2 * KSUB + k2)
     return np.asarray(sa, np.int32), np.asarray(sb, np.int32)
-
-
-def max_contacts(max_blocks: int) -> int:
-    """Dense contact budget after compaction (generous: worst observed
-    scenes stay under half of this)."""
-    return 32 + 16 * max_blocks
 
 
 @functools.lru_cache(maxsize=None)
@@ -202,9 +197,13 @@ def _compact_contacts(pts, nrm, dst, vld, max_blocks):
         return jnp.einsum('...km,...kd->...md', S, x)
 
     valid_c = take1(vf) > 0.5
+    kc = vld.shape[-1]
+    cand_idx = jnp.round(
+        take1(jnp.arange(kc, dtype=jnp.float32))).astype(jnp.int32)
     return dict(
         points=take2(pts), normals=take2(nrm), dists=take1(dst),
         valid=valid_c,
+        cand_id=jnp.where(valid_c, cand_idx, -1),
         body_a=jnp.round(take1(jnp.asarray(ba, jnp.float32))).astype(
             jnp.int32),
         body_b=jnp.round(take1(jnp.asarray(bb, jnp.float32))).astype(
@@ -275,6 +274,56 @@ def _acc2(M, x):
     return jnp.einsum('...kn,...kd->...nd', M, x)
 
 
+def _apply_contact_impulse(bodies, con, djn, djt):
+    """Apply per-contact (normal, tangent) impulse deltas to the bodies
+    with the true inverse masses (used for both warm-start cached
+    impulses, cpArbiterApplyCachedImpulse, and iteration deltas)."""
+    v, w, vb, wb = bodies
+    A, B = con['A'], con['B']
+    n = con['n']
+    dj = djn[..., None] * n + djt[..., None] * _perp(n)
+    v = v + _acc2(A, -dj * con['invm_a'][..., None]) \
+        + _acc2(B, dj * con['invm_b'][..., None])
+    w = w + _acc1(A, -con['invi_a'] * _cross(con['r1'], dj)) \
+        + _acc1(B, con['invi_b'] * _cross(con['r2'], dj))
+    return (v, w, vb, wb)
+
+
+def _warm_start_contacts(con, state):
+    """Gather cached impulses for contacts that persist across substeps
+    (matched by candidate id, Chipmunk's contact-id hash equivalent)."""
+    old_id = state.con_id
+    match = (con['cand_id'][..., :, None] == old_id[..., None, :]) \
+        & con['valid'][..., :, None] & (old_id >= 0)[..., None, :]
+    Mf = match.astype(jnp.float32)
+    jn_w = jnp.einsum('...mo,...o->...m', Mf, state.con_jn)
+    jt_w = jnp.einsum('...mo,...o->...m', Mf, state.con_jt)
+    return jn_w, jt_w
+
+
+def _jacc_to_vec(jacc, mb):
+    parts = [jacc['pivot'], jacc['gear'][None], jacc['pin'], jacc['limit'],
+             jacc['motor']]
+    if mb > 0:
+        parts += [jacc['block_pivot'].reshape(-1), jacc['block_gear']]
+    return jnp.concatenate(parts)
+
+
+def _jacc_from_vec(vec, mb):
+    jacc = dict(
+        pivot=vec[0:2],
+        gear=vec[2],
+        pin=vec[3:5],
+        limit=vec[5:7],
+        motor=vec[7:9],
+        eye_target=jnp.zeros((2,), jnp.float32),
+    )
+    if mb > 0:
+        jacc['block_pivot'] = vec[9:9 + 2 * mb].reshape(mb, 2)
+        jacc['block_gear'] = vec[9 + 2 * mb:9 + 3 * mb]
+    return jacc
+
+
 def _contact_iteration(bodies, con, acc):
     """One mass-splitting Jacobi sweep with Chipmunk's accumulated-impulse
     clamping (cpArbiterApplyImpulse semantics per contact)."""
@@ -321,6 +370,35 @@ def _contact_iteration(bodies, con, acc):
 # ---------------------------------------------------------------------------
 # Joints
 # ---------------------------------------------------------------------------
+
+def _apply_joint_cached(bodies, jacc, pre, inv_m, inv_i, max_blocks):
+    """Apply each constraint's cached accumulated impulse along the NEW
+    prestep geometry (cpConstraint applyCachedImpulse, dt_coef = 1).
+    Returns (bodies, jacc) — the rotary limit zeroes its accumulator when
+    the joint is inside its limits (cpRotaryLimitJoint preStep)."""
+    v, w, vb, wb = bodies
+
+    v = v.at[0].add(jacc['pivot'] * inv_m[0])
+    w = w.at[0].add(jacc['gear'] * inv_i[0])
+
+    limit_acc = jnp.where(pre['limit_bias'] == 0.0, 0.0, jacc['limit'])
+    for side in range(2):
+        fb = 1 + side
+        dj = jacc['pin'][side] * pre['pin_n'][side]
+        v = v.at[0].add(-dj * inv_m[0])
+        w = w.at[0].add(-inv_i[0] * _cross(pre['pin_r1'][side], dj))
+        v = v.at[fb].add(dj * inv_m[fb])
+        dw = limit_acc[side] + jacc['motor'][side]
+        w = w.at[0].add(-dw * inv_i[0])
+        w = w.at[fb].add(dw * inv_i[fb])
+    jacc = {**jacc, 'limit': limit_acc}
+
+    if max_blocks > 0:
+        bsl = slice(N_ROBOT_BODIES, N_ROBOT_BODIES + max_blocks)
+        v = v.at[bsl].add(jacc['block_pivot'] * inv_m[bsl, None])
+        w = w.at[bsl].add(jacc['block_gear'] * inv_i[bsl])
+    return (v, w, vb, wb), jacc
+
 
 def _joint_sweep(bodies, jacc, pre, inv_m, inv_i, max_blocks):
     """One Gauss-Seidel sweep over all joints, in canonical order."""
@@ -566,20 +644,15 @@ def physics_substep(state: EnvState, iterations: int = C.PHYS_ITER):
     wb_p = jnp.zeros_like(w_p)
 
     maxc = max_contacts(mb)
-    acc0 = (jnp.zeros((maxc,), jnp.float32),
-            jnp.zeros((maxc,), jnp.float32),
-            jnp.zeros((maxc,), jnp.float32))
-    jacc0 = dict(
-        pivot=jnp.zeros((2,), jnp.float32),
-        gear=jnp.float32(0.0),
-        pin=jnp.zeros((2,), jnp.float32),
-        limit=jnp.zeros((2,), jnp.float32),
-        motor=jnp.zeros((2,), jnp.float32),
-        eye_target=jnp.zeros((2,), jnp.float32),
-    )
-    if mb > 0:
-        jacc0['block_pivot'] = jnp.zeros((mb, 2), jnp.float32)
-        jacc0['block_gear'] = jnp.zeros((mb,), jnp.float32)
+
+    # ---- warm start (cpArbiterApplyCachedImpulse + constraint jAcc) -------
+    bodies = (v_p, w_p, vb_p, wb_p)
+    jn_w, jt_w = _warm_start_contacts(con_raw, state)
+    bodies = _apply_contact_impulse(bodies, con, jn_w, jt_w)
+    acc0 = (jn_w, jt_w, jnp.zeros((maxc,), jnp.float32))
+    jacc0 = _jacc_from_vec(state.joint_acc, mb)
+    bodies, jacc0 = _apply_joint_cached(bodies, jacc0, pre,
+                                        inv_m_p, inv_i_p, mb)
 
     def iteration(_, carry):
         bodies, acc, jacc = carry
@@ -587,14 +660,18 @@ def physics_substep(state: EnvState, iterations: int = C.PHYS_ITER):
         bodies, jacc = _joint_sweep(bodies, jacc, pre, inv_m_p, inv_i_p, mb)
         return bodies, acc, jacc
 
-    bodies, _, _ = jax.lax.fori_loop(
-        0, iterations, iteration, ((v_p, w_p, vb_p, wb_p), acc0, jacc0))
+    bodies, acc_f, jacc_f = jax.lax.fori_loop(
+        0, iterations, iteration, (bodies, acc0, jacc0))
     v_p, w_p, vb_p, wb_p = bodies
 
     return state.replace(
         pos=pos, angle=angle,
         vel=v_p[:nb], omega=w_p[:nb],
-        v_bias=vb_p[:nb], w_bias=wb_p[:nb])
+        v_bias=vb_p[:nb], w_bias=wb_p[:nb],
+        con_id=con_raw['cand_id'],
+        con_jn=jnp.where(con_raw['valid'], acc_f[0], 0.0),
+        con_jt=jnp.where(con_raw['valid'], acc_f[1], 0.0),
+        joint_acc=_jacc_to_vec(jacc_f, mb))
 
 
 def control_step(state: EnvState, action: jnp.ndarray,

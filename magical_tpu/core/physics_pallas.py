@@ -42,6 +42,12 @@ KSUB = G.KSUB
 ENV_TILE = 256
 BIG = 1e9
 
+# Interpret mode runs the kernel through the Pallas interpreter (any
+# backend, no Mosaic) — used to cross-validate the kernel against the
+# XLA path in the default CPU test suite.
+import os  # noqa: E402
+INTERPRET = os.environ.get('MAGICAL_TPU_PALLAS_INTERPRET', '') == '1'
+
 
 class _Layout:
     """Row offsets of the packed state array."""
@@ -117,11 +123,52 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     nb = L.nb
     ns = 5 + mb * KSUB
     slot_body, slot_friction = P.slot_tables(mb)
-    sa_tab, sb_tab = P.pair_table(mb)
-    n_pairs = len(sa_tab)
+
+    # Candidate layout (contact slots the solver iterates over):
+    #   [4 walls x NS sub-shapes x 2 pts]            static normals/bodies
+    #   [MB blocks x 5 robot sub-shapes x 2 pts]     robot vs block
+    #   [MB-choose-2 block pairs x 2 pts]            block vs block
+    # Pair candidates hold the two deepest contacts found over ALL
+    # sub-shape SAT combinations of the pair (vs one slot per sub-shape
+    # pair in core/physics.py) — this keeps the candidate set (and VMEM)
+    # small enough for the 10-block cluster tasks while capturing the
+    # 1-2 real contact points a convex pair produces.
+    n_bpairs = mb * (mb - 1) // 2
     n_wall_cand = 4 * ns * 2
-    kc = n_wall_cand + 2 * n_pairs
-    ba_tab, bb_tab, fr_tab = P.candidate_bodies(mb)
+    n_rb_cand = mb * 5 * 2
+    n_bb_cand = n_bpairs * 2
+    rb_base = n_wall_cand
+    bb_base = n_wall_cand + n_rb_cand
+    kc = n_wall_cand + n_rb_cand + n_bb_cand
+
+    ba, bbod, fr = [], [], []
+    for _w in range(4):
+        for s in range(ns):
+            for _p in range(2):
+                ba.append(nb)
+                bbod.append(slot_body[s])
+                fr.append(slot_friction[s] * C.WALL_FRICTION)
+    for b in range(mb):
+        for s in range(5):
+            for _p in range(2):
+                ba.append(slot_body[s])
+                bbod.append(N_ROBOT_BODIES + b)
+                fr.append(slot_friction[s] * C.SHAPE_FRICTION)
+    pb1, pb2 = [], []
+    for b1 in range(mb):
+        for b2 in range(b1 + 1, mb):
+            pb1.append(b1)
+            pb2.append(b2)
+            for _p in range(2):
+                ba.append(N_ROBOT_BODIES + b1)
+                bbod.append(N_ROBOT_BODIES + b2)
+                fr.append(C.SHAPE_FRICTION * C.SHAPE_FRICTION)
+    ba_tab = np.asarray(ba, np.int32)
+    bb_tab = np.asarray(bbod, np.int32)
+    fr_tab = np.asarray(fr, np.float32)
+    pb1_tab = np.asarray(pb1, np.int32)
+    pb2_tab = np.asarray(pb2, np.int32)
+
     dt = C.DT
     bias_coef = P.CONTACT_BIAS_COEF
     rg = G.ROBOT_GEOM
@@ -150,7 +197,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     WALLS = [(1.0, 0.0, -1.0), (-1.0, 0.0, -1.0),
              (0.0, 1.0, -1.0), (0.0, -1.0, -1.0)]
 
-    def kernel(state_ref, sa_ref, sb_ref, sbody_ref, amat_ref, bmat_ref,
+    def kernel(state_ref, pb1_ref, pb2_ref, sbody_ref, amat_ref, bmat_ref,
                fr_ref, out_ref,
                body_st, lgeo, wvx, wvy,
                cpx, cpy, cnx, cny, cdst, cvld,
@@ -162,7 +209,8 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                  interleaved (lx0, ly0, lx1, ...)
         wvx/wvy: (NS, NV, E) world verts
         c*:      (KC, E) candidate contact fields
-        j*_acc:  (KC, E) accumulated impulses
+        j*_acc:  (KC, E) accumulated impulses, warm-started across the
+                 10 substeps (cpArbiterApplyCachedImpulse semantics)
         """
         E = state_ref.shape[-1]
 
@@ -333,19 +381,35 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
             jax.lax.fori_loop(0, ns, wall_body, 0)
 
-            # ---- narrowphase: shape pairs (fori over pairs) ----------
-            def pair_body(p, _):
-                s1 = sa_ref[p, 0]
-                s2 = sb_ref[p, 0]
+            # ---- narrowphase: shape pairs ----------------------------
+            # Each pair's two candidate slots take the two deepest
+            # contacts over all sub-shape SAT combinations; the KSUB subs
+            # of the block operand are evaluated at once on the sublane
+            # axis.
+            if kc > n_wall_cand:
+                npc = kc - n_wall_cand
+                cdst[n_wall_cand:kc, :] = jnp.full((npc, E), BIG,
+                                                   jnp.float32)
+                cnx[n_wall_cand:kc, :] = jnp.ones((npc, E), jnp.float32)
+                cny[n_wall_cand:kc, :] = jnp.zeros((npc, E), jnp.float32)
+                cpx[n_wall_cand:kc, :] = jnp.zeros((npc, E), jnp.float32)
+                cpy[n_wall_cand:kc, :] = jnp.zeros((npc, E), jnp.float32)
+
+            def sat_vs_block(s1, blk):
+                """SAT of sub-shape slot s1 vs all KSUB subs of block
+                `blk` at once: (KSUB, E) dist/px/py/nx/ny, inactive or
+                empty combinations pushed to +BIG dist."""
+                s2 = 5 + blk * KSUB
                 nv1 = lgeo[0, s1, :][None, :]
-                nv2 = lgeo[0, s2, :][None, :]
                 r1 = lgeo[1, s1, :][None, :]
-                r2 = lgeo[1, s2, :][None, :]
-                act = (lgeo[2, s1, :] * lgeo[2, s2, :])[None, :]
+                act1 = lgeo[2, s1, :][None, :]
+                nv2 = lgeo[0, pl.dslice(s2, KSUB), :]
+                r2 = lgeo[1, pl.dslice(s2, KSUB), :]
+                act = act1 * lgeo[2, pl.dslice(s2, KSUB), :]
                 v1x = [wvx[s1, v, :][None, :] for v in range(NV)]
                 v1y = [wvy[s1, v, :][None, :] for v in range(NV)]
-                v2x = [wvx[s2, v, :][None, :] for v in range(NV)]
-                v2y = [wvy[s2, v, :][None, :] for v in range(NV)]
+                v2x = [wvx[pl.dslice(s2, KSUB), v, :] for v in range(NV)]
+                v2y = [wvy[pl.dslice(s2, KSUB), v, :] for v in range(NV)]
 
                 def support_min(vx, vy, nvv, nx, ny):
                     best = jnp.full_like(nx, BIG)
@@ -455,25 +519,88 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 dist = jnp.where(both, c_d - (r1 + r2), dist)
                 pxf = jnp.where(both, v1x[0] + nxf * (r1 + 0.5 * dist), pxb)
                 pyf = jnp.where(both, v1y[0] + nyf * (r1 + 0.5 * dist), pyb)
-                valid = (dist < 0.0) & (act > 0.5)
+                dv = jnp.where(act > 0.5, dist, BIG)
+                return dv, pxf, pyf, nxf, nyf
 
-                ci = n_wall_cand + 2 * p
-                cpx[ci, :] = pxf[0]
-                cpy[ci, :] = pyf[0]
-                cnx[ci, :] = nxf[0]
-                cny[ci, :] = nyf[0]
-                cdst[ci, :] = dist[0]
-                cvld[ci, :] = valid.astype(jnp.float32)[0]
-                cvld[ci + 1, :] = jnp.zeros((E,), jnp.float32)
-                cpx[ci + 1, :] = pxf[0]
-                cpy[ci + 1, :] = pyf[0]
-                cnx[ci + 1, :] = nxf[0]
-                cny[ci + 1, :] = nyf[0]
-                cdst[ci + 1, :] = dist[0]
+            def best2_rows(dv, px_, py_, nx_, ny_):
+                """Two smallest-dist rows of (KSUB, E) contact fields as
+                (1, E) tuples (ties broken by lowest row index)."""
+                row = jax.lax.broadcasted_iota(jnp.float32, dv.shape, 0)
+
+                def pick(x, sel):
+                    return jnp.sum(jnp.where(sel, x, 0.0), axis=0,
+                                   keepdims=True)
+
+                d1 = jnp.min(dv, axis=0, keepdims=True)
+                i1 = jnp.min(jnp.where(dv == d1, row, float(KSUB)),
+                             axis=0, keepdims=True)
+                sel1 = row == i1
+                c1 = (d1, pick(px_, sel1), pick(py_, sel1),
+                      pick(nx_, sel1), pick(ny_, sel1))
+                dv2 = jnp.where(sel1, BIG, dv)
+                d2 = jnp.min(dv2, axis=0, keepdims=True)
+                i2 = jnp.min(jnp.where(dv2 == d2, row, float(KSUB)),
+                             axis=0, keepdims=True)
+                sel2 = row == i2
+                c2 = (d2, pick(px_, sel2), pick(py_, sel2),
+                      pick(nx_, sel2), pick(ny_, sel2))
+                return c1, c2
+
+            def insert_contact(ci, cand):
+                """Insert one candidate into the pair's 2-deep best list
+                held in the contact arrays at rows ci, ci+1."""
+                cur1 = (cdst[ci, :][None, :], cpx[ci, :][None, :],
+                        cpy[ci, :][None, :], cnx[ci, :][None, :],
+                        cny[ci, :][None, :])
+                cur2 = (cdst[ci + 1, :][None, :], cpx[ci + 1, :][None, :],
+                        cpy[ci + 1, :][None, :], cnx[ci + 1, :][None, :],
+                        cny[ci + 1, :][None, :])
+                is1 = cand[0] < cur1[0]
+                new1 = [jnp.where(is1, a, b) for a, b in zip(cand, cur1)]
+                loser = [jnp.where(is1, b, a) for a, b in zip(cand, cur1)]
+                is2 = loser[0] < cur2[0]
+                new2 = [jnp.where(is2, a, b) for a, b in zip(loser, cur2)]
+                cdst[ci, :] = new1[0][0]
+                cpx[ci, :] = new1[1][0]
+                cpy[ci, :] = new1[2][0]
+                cnx[ci, :] = new1[3][0]
+                cny[ci, :] = new1[4][0]
+                cdst[ci + 1, :] = new2[0][0]
+                cpx[ci + 1, :] = new2[1][0]
+                cpy[ci + 1, :] = new2[2][0]
+                cnx[ci + 1, :] = new2[3][0]
+                cny[ci + 1, :] = new2[4][0]
+
+            def rb_body(q, _):
+                blk = q // 5
+                s1 = q % 5
+                c1, c2 = best2_rows(*sat_vs_block(s1, blk))
+                ci = rb_base + q * 2
+                insert_contact(ci, c1)
+                insert_contact(ci, c2)
                 return 0
 
-            if n_pairs:
-                jax.lax.fori_loop(0, n_pairs, pair_body, 0)
+            if mb:
+                jax.lax.fori_loop(0, mb * 5, rb_body, 0)
+
+            def bb_body(q, _):
+                pair = q // KSUB
+                k1 = q % KSUB
+                b1 = pb1_ref[pair, 0]
+                b2 = pb2_ref[pair, 0]
+                s1 = 5 + b1 * KSUB + k1
+                c1, c2 = best2_rows(*sat_vs_block(s1, b2))
+                ci = bb_base + pair * 2
+                insert_contact(ci, c1)
+                insert_contact(ci, c2)
+                return 0
+
+            if n_bpairs:
+                jax.lax.fori_loop(0, n_bpairs * KSUB, bb_body, 0)
+
+            if kc > n_wall_cand:
+                cvld[n_wall_cand:kc, :] = (
+                    cdst[n_wall_cand:kc, :] < 0.0).astype(jnp.float32)
 
             # ---- prestep over the candidate set ----------------------
             Cv = cvld[:, :]
@@ -575,17 +702,30 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                                      + j_spring
                                      * inv_i_st[eb:eb + 1, :])[0]
 
-            # ---- solver iterations -----------------------------------
-            jn_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
-            jt_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
+            # ---- contact warm start ----------------------------------
+            # Accumulated impulses from the previous substep persist for
+            # contacts that are still touching and are applied to the
+            # bodies at prestep (cpArbiterApplyCachedImpulse); bias
+            # impulses are not cached, matching Chipmunk.
+            jn_prev = jnp.where(Cv > 0.5, jn_acc[:, :], 0.0)
+            jt_prev = jnp.where(Cv > 0.5, jt_acc[:, :], 0.0)
+            jn_acc[:, :] = jn_prev
+            jt_acc[:, :] = jt_prev
             jb_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
-
-            jacc0 = (jnp.zeros((1, E), jnp.float32),) * 2 \
-                + (jnp.zeros((1, E), jnp.float32),) \
-                + tuple(jnp.zeros((1, E), jnp.float32) for _ in range(6)) \
-                + tuple(jnp.zeros((1, E), jnp.float32) for _ in range(2)) \
-                + tuple(jnp.zeros((1, E), jnp.float32)
-                        for _ in range(3 * mb))
+            wjx = jn_prev * Cnx_ - jt_prev * Cny_
+            wjy = jn_prev * Cny_ + jt_prev * Cnx_
+            wsum_ax = accum(A_mat, wjx)
+            wsum_ay = accum(A_mat, wjy)
+            wsum_bx = accum(B_mat, wjx)
+            wsum_by = accum(B_mat, wjy)
+            wtq_a = accum(A_mat, r1x * wjy - r1y * wjx)
+            wtq_b = accum(B_mat, r2x * wjy - r2y * wjx)
+            body_st[3, :, :] = body_st[3, :, :] \
+                + (wsum_bx - wsum_ax) * inv_m_st
+            body_st[4, :, :] = body_st[4, :, :] \
+                + (wsum_by - wsum_ay) * inv_m_st
+            body_st[5, :, :] = body_st[5, :, :] \
+                + (wtq_b - wtq_a) * inv_i_st
 
             def iteration(_i, jacc):
                 (pvx, pvy, gear, pinL, pinR, limL, limR, motL, motR,
@@ -786,10 +926,67 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                         lim_acc[0], lim_acc[1], mot_acc[0], mot_acc[1],
                         eye_acc[0], eye_acc[1], *new_block_acc)
 
-            jax.lax.fori_loop(0, iterations, iteration, jacc0)
-            return carry
+            # ---- joint warm start (cpConstraint applyCachedImpulse) --
+            # `carry` holds the previous substep's joint accumulators;
+            # apply them along the NEW prestep geometry, then iterate
+            # from those values.  The rotary limit drops its accumulator
+            # when inside the limits (cpRotaryLimitJoint preStep); eye
+            # damping targets are recomputed each substep, not cached.
+            (pvx0, pvy0, gear0, pinL0, pinR0, limL0, limR0, motL0, motR0,
+             _eyeL0, _eyeR0, *blk0) = carry
+            eye_z = jnp.zeros((1, E), jnp.float32)
+            wim0 = inv_m_st[0:1, :]
+            wii0 = inv_i_st[0:1, :]
+            body_st[3, 0, :] = (body_st[3, 0, :][None, :] + pvx0 * wim0)[0]
+            body_st[4, 0, :] = (body_st[4, 0, :][None, :] + pvy0 * wim0)[0]
+            body_st[5, 0, :] = (body_st[5, 0, :][None, :] + gear0 * wii0)[0]
+            pin0 = [pinL0, pinR0]
+            lim0 = [jnp.where(lim_bias[0] == 0.0, 0.0, limL0),
+                    jnp.where(lim_bias[1] == 0.0, 0.0, limR0)]
+            mot0 = [motL0, motR0]
+            for side in range(2):
+                fb = 1 + side
+                wimf = inv_m_st[fb:fb + 1, :]
+                wiif = inv_i_st[fb:fb + 1, :]
+                pnx, pny, prx, pry, _pm, _pb = pins[side]
+                wjx2 = pin0[side] * pnx
+                wjy2 = pin0[side] * pny
+                body_st[3, 0, :] = (body_st[3, 0, :][None, :]
+                                    - wjx2 * wim0)[0]
+                body_st[4, 0, :] = (body_st[4, 0, :][None, :]
+                                    - wjy2 * wim0)[0]
+                body_st[5, 0, :] = (body_st[5, 0, :][None, :]
+                                    - (prx * wjy2 - pry * wjx2) * wii0)[0]
+                body_st[3, fb, :] = (body_st[3, fb, :][None, :]
+                                     + wjx2 * wimf)[0]
+                body_st[4, fb, :] = (body_st[4, fb, :][None, :]
+                                     + wjy2 * wimf)[0]
+                dw0 = lim0[side] + mot0[side]
+                body_st[5, 0, :] = (body_st[5, 0, :][None, :]
+                                    - dw0 * wii0)[0]
+                body_st[5, fb, :] = (body_st[5, fb, :][None, :]
+                                     + dw0 * wiif)[0]
+            for b in range(mb):
+                n_i = N_ROBOT_BODIES + b
+                wimn = inv_m_st[n_i:n_i + 1, :]
+                wiin = inv_i_st[n_i:n_i + 1, :]
+                body_st[3, n_i, :] = (body_st[3, n_i, :][None, :]
+                                      + blk0[3 * b] * wimn)[0]
+                body_st[4, n_i, :] = (body_st[4, n_i, :][None, :]
+                                      + blk0[3 * b + 1] * wimn)[0]
+                body_st[5, n_i, :] = (body_st[5, n_i, :][None, :]
+                                      + blk0[3 * b + 2] * wiin)[0]
 
-        jax.lax.fori_loop(0, phys_steps, substep, 0)
+            jacc_in = (pvx0, pvy0, gear0, pinL0, pinR0, lim0[0], lim0[1],
+                       motL0, motR0, eye_z, eye_z, *blk0)
+            return jax.lax.fori_loop(0, iterations, iteration, jacc_in)
+
+        jacc0 = tuple(jnp.zeros((1, E), jnp.float32)
+                      for _ in range(11 + 3 * mb))
+        jn_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
+        jt_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
+        jb_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
+        jax.lax.fori_loop(0, phys_steps, substep, jacc0)
 
         # ---- write back ----------------------------------------------
         for i in range(nb):
@@ -806,8 +1003,8 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             out_ref[r, :] = state_ref[r, :]
 
     tables = dict(
-        sa=np.asarray(sa_tab, np.int32)[:, None],
-        sb=np.asarray(sb_tab, np.int32)[:, None],
+        pb1=pb1_tab[:, None],
+        pb2=pb2_tab[:, None],
         sbody=np.asarray(slot_body, np.int32)[:, None],
         amat=np.concatenate(mask_a, axis=1).astype(np.float32),
         bmat=np.concatenate(mask_b, axis=1).astype(np.float32),
@@ -820,9 +1017,9 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
     kernel, L, kc, ns, tables = _make_kernel(mb, phys_steps, iterations)
     nb = L.nb
-    sa_in = tables['sa'] if len(tables['sa']) else \
+    pb1_in = tables['pb1'] if len(tables['pb1']) else \
         np.zeros((1, 1), np.int32)
-    sb_in = tables['sb'] if len(tables['sb']) else \
+    pb2_in = tables['pb2'] if len(tables['pb2']) else \
         np.zeros((1, 1), np.int32)
     sbody_in = tables['sbody']
     amat_in = tables['amat']
@@ -841,8 +1038,8 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
             grid=grid,
             in_specs=[pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
                                    memory_space=pltpu.VMEM),
-                      rep(sa_in.shape, pltpu.SMEM),
-                      rep(sb_in.shape, pltpu.SMEM),
+                      rep(pb1_in.shape, pltpu.SMEM),
+                      rep(pb2_in.shape, pltpu.SMEM),
                       rep(sbody_in.shape, pltpu.SMEM),
                       rep(amat_in.shape),
                       rep(bmat_in.shape),
@@ -866,7 +1063,8 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jt
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jb
             ],
-        )(packed, sa_in, sb_in, sbody_in, amat_in, bmat_in, fr_in)
+            interpret=INTERPRET,
+        )(packed, pb1_in, pb2_in, sbody_in, amat_in, bmat_in, fr_in)
 
     return call
 

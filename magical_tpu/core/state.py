@@ -35,6 +35,20 @@ N_ROBOT_BODIES = 5
 PARK_POS = 50.0
 
 
+def max_contacts(max_blocks: int) -> int:
+    """Dense contact budget after compaction (generous: worst observed
+    scenes stay under half of this)."""
+    return 32 + 16 * max_blocks
+
+
+def n_joint_acc(max_blocks: int) -> int:
+    """Flattened joint-impulse accumulator length: robot pivot (2) + gear
+    (1) + pin L/R (2) + rotary limit L/R (2) + finger motor L/R (2), then
+    per block pivot (2 each) + gear (1 each).  Persisted across substeps
+    and control steps like Chipmunk's cpConstraint jAcc warm start."""
+    return 9 + 3 * max_blocks
+
+
 @flax.struct.dataclass
 class EnvState:
     """State of a single environment (batched via vmap)."""
@@ -64,8 +78,22 @@ class EnvState:
     goal_colour: jnp.ndarray   # (MG,) i32
     goal_active: jnp.ndarray   # (MG,) bool
 
+    # --- warm-start caches (Chipmunk arbiter/constraint jAcc) -------------
+    # Compacted contact slots carry their candidate id + accumulated
+    # normal/friction impulses across substeps AND control steps, applied
+    # at prestep like cpArbiterApplyCachedImpulse (bias impulses are not
+    # cached, matching Chipmunk).
+    con_id: jnp.ndarray        # (MAXC,) i32 candidate id, -1 = empty
+    con_jn: jnp.ndarray        # (MAXC,) f32 accumulated normal impulse
+    con_jt: jnp.ndarray        # (MAXC,) f32 accumulated friction impulse
+    joint_acc: jnp.ndarray     # (n_joint_acc(MB),) f32
+
     # --- misc -------------------------------------------------------------
     aux: jnp.ndarray           # (4,) i32 task-specific extras
+    # number of entities whose reset placement found no collision-free
+    # pose (the reference raises PlacementError, geom.py:111-113; we
+    # count and surface it via info['n_placement_failures'])
+    place_fail: jnp.ndarray    # () i32
     phys: jnp.ndarray          # (5,) f32 PhysicsVariables vector
     rng: jnp.ndarray           # (2,) u32 jax PRNG key
     t: jnp.ndarray             # () i32 episode step counter
@@ -143,7 +171,12 @@ def make_initial_state(max_blocks: int, max_goals: int) -> EnvState:
         goal_xyhw=jnp.zeros((max_goals, 4), jnp.float32),
         goal_colour=jnp.zeros((max_goals,), jnp.int32),
         goal_active=jnp.zeros((max_goals,), bool),
+        con_id=jnp.full((max_contacts(max_blocks),), -1, jnp.int32),
+        con_jn=jnp.zeros((max_contacts(max_blocks),), jnp.float32),
+        con_jt=jnp.zeros((max_contacts(max_blocks),), jnp.float32),
+        joint_acc=jnp.zeros((n_joint_acc(max_blocks),), jnp.float32),
         aux=jnp.zeros((4,), jnp.int32),
+        place_fail=jnp.int32(0),
         phys=jnp.asarray(C.PHYS_VAR_DEFAULTS),
         rng=jnp.zeros((2,), jnp.uint32),
         t=jnp.int32(0),

@@ -59,3 +59,19 @@ def assert_valid_host(state: EnvState, where=''):
         problems.append(f'velocity blow-up (max {np.abs(vel).max():.1f})')
     if problems:
         raise AssertionError(f'invalid state {where}: ' + '; '.join(problems))
+
+
+def assert_placements_ok(state: EnvState, where=''):
+    """Host-side: no reset placement fell back to a colliding pose.
+
+    Replaces the reference's PlacementError signal (geom.py:111-113) for
+    the batched engine: task resets count failed placements in
+    ``EnvState.place_fail`` and steps surface it via
+    ``info['n_placement_failures']``.
+    """
+    fails = np.asarray(state.place_fail)
+    if fails.any():
+        n_envs = int((fails > 0).sum()) if fails.ndim else 1
+        raise AssertionError(
+            f'placement failure {where}: {int(fails.sum())} entities in '
+            f'{n_envs} env(s) kept a possibly-colliding pose')

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import abc
 import collections
-import io
 import math
 import warnings
 
@@ -124,41 +123,44 @@ class EvaluationProtocol(abc.ABC):
     def obtain_scores(self, env_name):
         ...
 
+    def _summarise(self, env_name, scores):
+        """One result row (dict) for a batch of episode scores."""
+        n_got = len(scores)
+        if n_got != self.n_rollouts:
+            if n_got < self.n_rollouts:
+                raise ValueError(
+                    f'{type(self).__name__}.obtain_scores({env_name!r}) '
+                    f'produced {n_got} episode scores; the protocol '
+                    f'requires exactly n_rollouts={self.n_rollouts}')
+            warnings.warn(
+                f'obtain_scores({env_name!r}) produced {n_got} > '
+                f'n_rollouts={self.n_rollouts} scores; keeping the first '
+                f'{self.n_rollouts} and dropping the rest')
+            scores = scores[:self.n_rollouts]
+        lo, hi = tconfint_mean(scores, 0.05)
+        return collections.OrderedDict(
+            demo_env=self.demo_env_name,
+            test_env=env_name,
+            mean_score=float(np.mean(scores)),
+            ci95_lower=lo,
+            ci95_upper=hi,
+            std_score=float(np.std(scores, ddof=1)),
+            run_id=self.run_id,
+        )
+
     def do_eval(self, verbose=False):
         if not self._called_init:
             raise ValueError(
-                'EvaluationProtocol.__init__() was not called. Did you '
-                'include a super().__init__(…) call in your subclass?')
-        records = []
-        for env_name in self.test_env_names:
-            scores = self.obtain_scores(env_name)
-            if len(scores) < self.n_rollouts:
-                raise ValueError(
-                    f'.obtain_scores() returned only {len(scores)} scores, '
-                    f'but we asked for {self.n_rollouts} scores')
-            if len(scores) > self.n_rollouts:
-                warnings.warn(
-                    f'Asked for {self.n_rollouts} scores but got '
-                    f'{len(scores)} scores instead. Will truncate to only '
-                    f'consider the first {self.n_rollouts} scores.')
-                scores = scores[:self.n_rollouts]
-            mean = float(np.mean(scores))
-            lo, hi = tconfint_mean(scores, 0.05)
-            std = float(np.std(scores, ddof=1))
-            records.append(collections.OrderedDict([
-                ('demo_env', self.demo_env_name),
-                ('test_env', env_name),
-                ('mean_score', mean),
-                ('ci95_lower', lo),
-                ('ci95_upper', hi),
-                ('std_score', std),
-                ('run_id', self.run_id),
-            ]))
+                f'{type(self).__name__} never ran '
+                'EvaluationProtocol.__init__; call super().__init__('
+                'demo_env_name=..., n_rollouts=...) from your subclass')
+        rows = [self._summarise(env_name, self.obtain_scores(env_name))
+                for env_name in self.test_env_names]
         try:
             import pandas as pd
-            frame = pd.DataFrame.from_records(records)
+            frame = pd.DataFrame.from_records(rows)
         except ImportError:          # pragma: no cover
-            frame = records
+            frame = rows
         if verbose:
             print(f"Final mean scores for '{self.run_id}':")
             if not isinstance(frame, list):
@@ -167,38 +169,42 @@ class EvaluationProtocol(abc.ABC):
         return frame
 
 
+def _single_row(frame, id_column, run_id, env_name):
+    """The unique result row for (run_id, test_env); error otherwise."""
+    sel = frame[(frame[id_column] == run_id)
+                & (frame['test_env'] == env_name)]
+    if len(sel) != 1:
+        raise ValueError(
+            f'expected exactly one row with {id_column}={run_id!r} and '
+            f'test_env={env_name!r}, found {len(sel)} — are the values in '
+            f'column {id_column!r} unique per run?')
+    return sel.iloc[0]
+
+
 def latexify_results(eval_data, id_column='run_id'):
-    """evaluation.py:101-154 — LaTeX results table."""
-    test_envs = eval_data['test_env'].unique()
-    col_names = [r'\textbf{%s}' % e for e in test_envs]
-    alg_names = eval_data[id_column].unique()
-    fp = io.StringIO()
-    print(r"\centering", file=fp)
-    print(r"\begin{tabular}{l@{\hspace{1em}}%s}" % ("c" * len(col_names)),
-          file=fp)
-    print(r"\toprule", file=fp)
-    print(r'\textbf{Randomisation} & ', end='', file=fp)
-    print(' & '.join(col_names), end='', file=fp)
-    print('\\\\', file=fp)
-    print(r'\midrule', file=fp)
-    for alg_name in alg_names:
-        alg_mask = eval_data[id_column] == alg_name
-        stat_parts = []
+    """Render a do_eval frame (one or more runs) as a LaTeX booktabs table.
+
+    Output shape follows the reference's table (evaluation.py:101-154):
+    one column per test env, one row per run id, cells "mean (± std)".
+    The reference emits \\bottomrule + \\end{tabular} INSIDE its row loop
+    (malformed for >1 run id); here the footer is emitted once — see
+    docs/DESIGN.md "Deliberate deviations".
+    """
+    test_envs = list(eval_data['test_env'].unique())
+    lines = [
+        r'\centering',
+        r'\begin{tabular}{l@{\hspace{1em}}%s}' % ('c' * len(test_envs)),
+        r'\toprule',
+        ' & '.join([r'\textbf{Randomisation}']
+                   + [r'\textbf{%s}' % e for e in test_envs]) + r'\\',
+        r'\midrule',
+    ]
+    for run_id in eval_data[id_column].unique():
+        cells = []
         for env_name in test_envs:
-            full_mask = alg_mask & (eval_data['test_env'] == env_name)
-            relevant_rows = list(eval_data[full_mask].iterrows())
-            if len(relevant_rows) != 1:
-                raise ValueError(
-                    f'got {len(relevant_rows)} rows corresponding to '
-                    f'{id_column}={alg_name} and test_env={env_name}, but '
-                    f'expected one (maybe IDs in column {id_column} aren\'t '
-                    f'unique?)')
-            (_, row), = relevant_rows
-            std = row['std_score']
-            stat_parts.append(f'{row["mean_score"]:.2f} ($\\pm$ {std:.2f})')
-        print(r'\textbf{%s} & ' % alg_name, end='', file=fp)
-        print(' & '.join(stat_parts), end='', file=fp)
-        print('\\\\', file=fp)
-        print(r'\bottomrule', file=fp)
-        print(r'\end{tabular}', file=fp)
-    return fp.getvalue()
+            row = _single_row(eval_data, id_column, run_id, env_name)
+            cells.append('%.2f ($\\pm$ %.2f)'
+                         % (row['mean_score'], row['std_score']))
+        lines.append(' & '.join([r'\textbf{%s}' % run_id] + cells) + r'\\')
+    lines += [r'\bottomrule', r'\end{tabular}']
+    return '\n'.join(lines) + '\n'

@@ -112,14 +112,20 @@ class Stack:
         self.nv = jnp.ones((n_entities, KSUB), jnp.int32)
         self.act = jnp.zeros((n_entities, KSUB), bool)
         self.mask = jnp.zeros((n_entities,), bool)
+        # running count of failed placements (reference: PlacementError,
+        # geom.py:111-113); threaded into EnvState.place_fail by resets
+        self.fails = jnp.int32(0)
 
-    def put(self, idx, geom_local, pos, angle, present=True):
+    def put(self, idx, geom_local, pos, angle, present=True, ok=True):
         wv, rad, nv, act = R.transform_entity(geom_local, pos, angle)
         self.verts = self.verts.at[idx].set(wv)
         self.rad = self.rad.at[idx].set(rad)
         self.nv = self.nv.at[idx].set(nv)
         self.act = self.act.at[idx].set(act)
         self.mask = self.mask.at[idx].set(present)
+        bad = jnp.logical_and(jnp.asarray(present, bool),
+                              ~jnp.asarray(ok, bool))
+        self.fails = self.fails + bad.astype(jnp.int32)
 
     def placed(self):
         return (self.verts, self.rad, self.nv, self.act)

@@ -110,22 +110,23 @@ def _reset(key, flags: B.Flags, defaults):
         # order per cluster.py:148-161: robot, then blocks
         stack = B.Stack(1 + MAX_BLOCKS)
         rg = B.robot_geom()
-        robot_pos, robot_ang, _ = R.place_entity(
+        robot_pos, robot_ang, ok = R.place_entity(
             ks[4], rg, robot_pos, robot_ang, stack.placed(), stack.mask,
             pos_linf_limit=pos_lim, rot_limit=rot_lim)
-        stack.put(0, rg, robot_pos, robot_ang)
+        stack.put(0, rg, robot_pos, robot_ang, ok=ok)
         bkeys = jax.random.split(ks[5], MAX_BLOCKS)
         new_p, new_a = [], []
         for i in range(MAX_BLOCKS):
             bg = R.block_placement_geom(shapes[i])
-            p, a, _ = R.place_entity(
+            p, a, ok = R.place_entity(
                 bkeys[i], bg, poses[i], angles[i], stack.placed(), stack.mask,
                 pos_linf_limit=pos_lim, rot_limit=rot_lim)
-            stack.put(1 + i, bg, p, a, present=active[i])
+            stack.put(1 + i, bg, p, a, present=active[i], ok=ok)
             new_p.append(p)
             new_a.append(a)
         poses = jnp.stack(new_p)
         angles = jnp.stack(new_a)
+        state = state.replace(place_fail=stack.fails)
 
     state = B.set_blocks(state, shapes, colours, poses, angles, active)
     state = B.finalize_robot(state, robot_pos, robot_ang)

@@ -103,23 +103,23 @@ def reset(key, flags: B.Flags):
         # (query ignored); then the query block inside the sensor.
         stack = B.Stack(2 + MAX_BLOCKS)
         gg = R.goal_placement_geom(h, w)
-        goal_c, _, _ = R.place_entity(
+        goal_c, _, ok = R.place_entity(
             ks[7], gg, goal_c, jnp.float32(0.0), stack.placed(), stack.mask,
             rand_rot=False, pos_linf_limit=pos_lim)
-        stack.put(0, gg, goal_c, jnp.float32(0.0))
+        stack.put(0, gg, goal_c, jnp.float32(0.0), ok=ok)
         rg = B.robot_geom()
-        robot_pos, robot_ang, _ = R.place_entity(
+        robot_pos, robot_ang, ok = R.place_entity(
             ks[8], rg, robot_pos, robot_ang, stack.placed(), stack.mask,
             pos_linf_limit=pos_lim, rot_limit=rot_lim)
-        stack.put(1, rg, robot_pos, robot_ang)
+        stack.put(1, rg, robot_pos, robot_ang, ok=ok)
         bkeys = jax.random.split(ks[9], MAX_OUT)
         new_p, new_a = [], []
         for i in range(MAX_OUT):
             bg = R.block_placement_geom(shapes[i])
-            p, a, _ = R.place_entity(
+            p, a, ok = R.place_entity(
                 bkeys[i], bg, poses[i], angles[i], stack.placed(), stack.mask,
                 pos_linf_limit=pos_lim, rot_limit=rot_lim)
-            stack.put(2 + i, bg, p, a, present=active[i])
+            stack.put(2 + i, bg, p, a, present=active[i], ok=ok)
             new_p.append(p)
             new_a.append(a)
 
@@ -130,13 +130,15 @@ def reset(key, flags: B.Flags):
             q_lim = jnp.minimum(C.JITTER_POS_BOUND, q_lim)
         qg = R.block_placement_geom(shapes[QUERY_SLOT])
         qmask = stack.mask_without(0)        # ignore the sensor
-        qp, qa, _ = R.place_entity(
+        qp, qa, ok = R.place_entity(
             ks[10], qg, goal_c, angles[QUERY_SLOT], stack.placed(), qmask,
             pos_linf_limit=q_lim, rot_limit=rot_lim)
+        stack.fails = stack.fails + (~ok).astype(jnp.int32)
         new_p.append(qp)
         new_a.append(qa)
         poses = jnp.stack(new_p)
         angles = jnp.stack(new_a)
+        state = state.replace(place_fail=stack.fails)
 
     state = B.set_blocks(state, shapes, colours, poses, angles, active)
     cxcyhw = jnp.stack([goal_c[0], goal_c[1], h, w])[None, :]

@@ -98,17 +98,17 @@ def reset(key, flags: B.Flags):
         new_gc = []
         for i in range(MAX_GOALS):
             gg = R.goal_placement_geom(hws[i, 0], hws[i, 1])
-            c, _, _ = R.place_entity(
+            c, _, ok = R.place_entity(
                 gkeys[i], gg, goal_c[i], jnp.float32(0.0), stack.placed(),
                 stack.mask, rand_rot=False, pos_linf_limit=pos_lim)
-            stack.put(i, gg, c, jnp.float32(0.0), present=active[i])
+            stack.put(i, gg, c, jnp.float32(0.0), present=active[i], ok=ok)
             new_gc.append(c)
         goal_c = jnp.stack(new_gc)
         rg = B.robot_geom()
-        robot_pos, robot_ang, _ = R.place_entity(
+        robot_pos, robot_ang, ok = R.place_entity(
             ks[8], rg, robot_pos, robot_ang, stack.placed(), stack.mask,
             pos_linf_limit=pos_lim, rot_limit=rot_lim)
-        stack.put(MAX_GOALS, rg, robot_pos, robot_ang)
+        stack.put(MAX_GOALS, rg, robot_pos, robot_ang, ok=ok)
 
         # fix_colour.py:167-188: each block placed inside its own region
         # (ignoring that region's sensor); other regions/blocks collide.
@@ -121,14 +121,15 @@ def reset(key, flags: B.Flags):
                 b_lim = jnp.minimum(C.JITTER_POS_BOUND, b_lim)
             bg = R.block_placement_geom(shapes[i])
             bmask = stack.mask_without(i)    # ignore own sensor
-            p, a, _ = R.place_entity(
+            p, a, ok = R.place_entity(
                 bkeys[i], bg, goal_c[i], angles[i], stack.placed(), bmask,
                 pos_linf_limit=b_lim, rot_limit=rot_lim)
-            stack.put(MAX_GOALS + 1 + i, bg, p, a, present=active[i])
+            stack.put(MAX_GOALS + 1 + i, bg, p, a, present=active[i], ok=ok)
             new_p.append(p)
             new_a.append(a)
         poses = jnp.stack(new_p)
         angles = jnp.stack(new_a)
+        state = state.replace(place_fail=stack.fails)
 
     state = B.set_blocks(state, shapes, block_colours, poses, angles, active)
     cxcyhw = jnp.concatenate([goal_c, hws], -1)

@@ -110,27 +110,28 @@ def reset(key, flags: B.Flags):
         # goal rotation never randomised
         stack = B.Stack(2 + MAX_BLOCKS)
         gg = R.goal_placement_geom(h, w)
-        goal_c, _, _ = R.place_entity(
+        goal_c, _, ok = R.place_entity(
             ks[6], gg, goal_c, jnp.float32(0.0), stack.placed(), stack.mask,
             rand_rot=False, pos_linf_limit=pos_lim)
-        stack.put(0, gg, goal_c, jnp.float32(0.0))
+        stack.put(0, gg, goal_c, jnp.float32(0.0), ok=ok)
         rg = B.robot_geom()
-        robot_pos, robot_ang, _ = R.place_entity(
+        robot_pos, robot_ang, ok = R.place_entity(
             ks[7], rg, robot_pos, robot_ang, stack.placed(), stack.mask,
             pos_linf_limit=pos_lim, rot_limit=rot_lim)
-        stack.put(1, rg, robot_pos, robot_ang)
+        stack.put(1, rg, robot_pos, robot_ang, ok=ok)
         bkeys = jax.random.split(ks[8], MAX_BLOCKS)
         new_p, new_a = [], []
         for i in range(MAX_BLOCKS):
             bg = R.block_placement_geom(shapes[i])
-            p, a, _ = R.place_entity(
+            p, a, ok = R.place_entity(
                 bkeys[i], bg, poses[i], angles[i], stack.placed(), stack.mask,
                 pos_linf_limit=pos_lim, rot_limit=rot_lim)
-            stack.put(2 + i, bg, p, a, present=active[i])
+            stack.put(2 + i, bg, p, a, present=active[i], ok=ok)
             new_p.append(p)
             new_a.append(a)
         poses = jnp.stack(new_p)
         angles = jnp.stack(new_a)
+        state = state.replace(place_fail=stack.fails)
 
     state = B.set_blocks(state, shapes, colours, poses, angles, active)
     cxcyhw = jnp.stack([goal_c[0], goal_c[1], h, w])[None, :]

@@ -59,14 +59,16 @@ def reset(key, flags: B.Flags):
         stack = B.Stack(2)
         rg = B.robot_geom()
         # order matches move_to_corner.py:57-64: robot first, then shape
-        robot_pos, robot_ang, _ = R.place_entity(
+        robot_pos, robot_ang, ok = R.place_entity(
             k_rob, rg, robot_pos, robot_ang, stack.placed(), stack.mask,
             pos_linf_limit=pos_lim, rot_limit=rot_lim)
-        stack.put(0, rg, robot_pos, robot_ang)
+        stack.put(0, rg, robot_pos, robot_ang, ok=ok)
         bg = R.block_placement_geom(shape)
-        block_pos, block_ang, _ = R.place_entity(
+        block_pos, block_ang, ok = R.place_entity(
             k_blk, bg, block_pos, block_ang, stack.placed(), stack.mask,
             pos_linf_limit=pos_lim, rot_limit=rot_lim)
+        stack.put(1, bg, block_pos, block_ang, ok=ok)
+        state = state.replace(place_fail=stack.fails)
 
     state = B.set_blocks(state, shape[None], colour[None],
                          block_pos[None], block_ang[None],

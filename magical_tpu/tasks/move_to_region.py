@@ -63,14 +63,16 @@ def reset(key, flags: B.Flags):
         rot_lim = C.JITTER_ROT_BOUND if flags.layout_minor else None
         stack = B.Stack(2)
         gg = R.goal_placement_geom(h, w)
-        goal_c, _, _ = R.place_entity(
+        goal_c, _, ok = R.place_entity(
             k_goal, gg, goal_c, jnp.float32(0.0), stack.placed(), stack.mask,
             rand_rot=False, pos_linf_limit=pos_lim)
-        stack.put(0, gg, goal_c, jnp.float32(0.0))
+        stack.put(0, gg, goal_c, jnp.float32(0.0), ok=ok)
         rg = B.robot_geom()
-        robot_pos, robot_ang, _ = R.place_entity(
+        robot_pos, robot_ang, ok = R.place_entity(
             k_rob, rg, robot_pos, robot_ang, stack.placed(), stack.mask,
             pos_linf_limit=pos_lim, rot_limit=rot_lim)
+        stack.put(1, rg, robot_pos, robot_ang, ok=ok)
+        state = state.replace(place_fail=stack.fails)
 
     cxcyhw = jnp.stack([goal_c[0], goal_c[1], h, w])[None, :]
     state = B.set_goals(state, cxcyhw, colour[None], jnp.ones((1,), bool))

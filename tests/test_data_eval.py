@@ -128,6 +128,36 @@ def test_evaluation_protocol():
     assert 'tabular' in tex and 'fake-algo' in tex
 
 
+def test_latexify_multi_run_well_formed():
+    # >1 run_id must still produce exactly one table footer, emitted
+    # after ALL rows (the reference's emitter is malformed here —
+    # docs/DESIGN.md "Known deviations").
+    import pandas as pd
+    rows = []
+    for run_id in ('algo-a', 'algo-b', 'algo-c'):
+        for env in ('Env1-v0', 'Env2-v0'):
+            rows.append(dict(demo_env='Env1-v0', test_env=env,
+                             mean_score=0.5, ci95_lower=0.4,
+                             ci95_upper=0.6, std_score=0.1,
+                             run_id=run_id))
+    tex = E.latexify_results(pd.DataFrame.from_records(rows))
+    assert tex.count(r'\bottomrule') == 1
+    assert tex.count(r'\end{tabular}') == 1
+    assert tex.count(r'\begin{tabular}') == 1
+    lines = tex.strip().splitlines()
+    assert lines[-1] == r'\end{tabular}'
+    assert lines[-2] == r'\bottomrule'
+    # one row per run id, in order, each terminated with \\
+    body = [ln for ln in lines if ln.startswith(r'\textbf{algo')]
+    assert [ln.split('}')[0] for ln in body] == [
+        r'\textbf{algo-a', r'\textbf{algo-b', r'\textbf{algo-c']
+    assert all(ln.endswith(r'\\') for ln in body)
+    # duplicate run ids are rejected
+    dup = pd.DataFrame.from_records(rows + rows[:1])
+    with pytest.raises(ValueError):
+        E.latexify_results(dup)
+
+
 def test_convert_demos_multidiscrete_to_flat(tmp_path):
     # old multi-discrete triples (ud, lr, grip) -> flat 18-id actions,
     # preserving the reference's canonical ordering (entities.py:162-190)

@@ -46,7 +46,9 @@ def test_variant_resets_randomise(name, variant):
     diff = np.abs(np.asarray(s1.pos) - np.asarray(s2.pos)).max() \
         + np.abs(np.asarray(s1.block_colour) -
                  np.asarray(s2.block_colour)).max() \
-        + np.abs(np.asarray(s1.goal_xyhw) - np.asarray(s2.goal_xyhw)).max()
+        + np.abs(np.asarray(s1.goal_xyhw) - np.asarray(s2.goal_xyhw)).max() \
+        + np.abs(np.asarray(s1.block_shape, np.float32) -
+                 np.asarray(s2.block_shape, np.float32)).max()
     assert diff > 1e-4
 
 
@@ -76,6 +78,39 @@ def test_layout_no_overlaps():
         # can bring centres closer, but never below ~0.1
         assert d.min() > 0.1, f'env {e} min dist {d.min()}'
         assert np.all(np.abs(pts) <= 1.0)
+    # every placement found a collision-free pose (PlacementError analogue)
+    from magical_tpu.core import validate
+    validate.assert_placements_ok(svec, 'ClusterColour TestLayout')
+
+
+def test_placement_failure_is_counted():
+    # an entity that cannot fit anywhere must raise the fail flag instead
+    # of silently keeping a colliding pose (reference: PlacementError,
+    # geom.py:111-113)
+    from magical_tpu.tasks import base as B
+    from magical_tpu.tasks import randomize as R
+
+    # a "block" with a circle sub-shape far bigger than the arena
+    verts = jnp.zeros((B.KSUB, B.NV, 2), jnp.float32)
+    radius = jnp.zeros((B.KSUB,), jnp.float32).at[0].set(5.0)
+    nv = jnp.ones((B.KSUB,), jnp.int32)
+    active = jnp.zeros((B.KSUB,), bool).at[0].set(True)
+    stack = B.Stack(1)
+    pos, ang, ok = R.place_entity(
+        KEY, (verts, radius, nv, active), jnp.zeros(2), jnp.float32(0.0),
+        stack.placed(), stack.mask)
+    stack.put(0, (verts, radius, nv, active), pos, ang, ok=ok)
+    assert not bool(ok)
+    assert int(stack.fails) == 1
+    # and a normal-size entity succeeds with fails untouched
+    radius_ok = jnp.zeros((B.KSUB,), jnp.float32).at[0].set(0.1)
+    stack2 = B.Stack(1)
+    _, _, ok2 = R.place_entity(
+        KEY, (verts, radius_ok, nv, active), jnp.zeros(2), jnp.float32(0.0),
+        stack2.placed(), stack2.mask)
+    stack2.put(0, (verts, radius_ok, nv, active), pos, ang, ok=ok2)
+    assert bool(ok2)
+    assert int(stack2.fails) == 0
 
 
 def test_dynamics_variant_randomises_phys():
