@@ -30,7 +30,10 @@ def rollout_episodes(env: BatchedEnv, policy_fn: Callable, key,
     length = length or env.max_episode_steps
     kr, kp = jax.random.split(key)
     keys = jax.random.split(kr, batch_size)
-    keys = M.shard_batch(keys, mesh)
+    if batch_size % mesh.shape['data'] == 0:
+        keys = M.shard_batch(keys, mesh)
+    # else: batch doesn't tile the data axis (tiny debug runs) — leave
+    # keys unsharded; jit still runs them on the default device.
 
     def run(keys, pkey):
         carry, obs = jax.vmap(env._reset_impl)(keys)

@@ -24,18 +24,21 @@ def test_shard_batch_roundtrip():
     assert sx['b'].sharding.is_fully_addressable
 
 
-def test_sharded_rollout_scores():
+@pytest.mark.parametrize('batch', [4, 8])
+def test_sharded_rollout_scores(batch):
+    # batch=8 tiles an 8-device CPU mesh (sharded path); batch=4 does
+    # not and must fall back to the unsharded path instead of raising.
     from magical_tpu.api.batched_env import BatchedEnv
     from magical_tpu.parallel.rollout import rollout_episodes
     env = BatchedEnv('MoveToRegion-Demo-v0', render_enabled=False)
 
     def random_policy(obs, k):
-        return jax.random.randint(k, (4,), 0, 18)
+        return jax.random.randint(k, (batch,), 0, 18)
 
     scores = rollout_episodes(env, random_policy, jax.random.PRNGKey(0),
-                              batch_size=4)
+                              batch_size=batch)
     scores = np.asarray(scores)
-    assert scores.shape == (4,)
+    assert scores.shape == (batch,)
     assert np.all((scores >= 0) & (scores <= 1))
 
 
