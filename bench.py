@@ -1,13 +1,18 @@
 #!/usr/bin/env python
 """Headline benchmark: batched env throughput (step + render, LoRes4E).
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
 
 Baseline is the driver-set north star from BASELINE.md: 1e6 env-steps/s
 per host (step + render at 96x96 LoRes4E, 4096 envs).  The reference
 itself publishes no throughput numbers (it is a serial Python/GL loop,
 typically ~10^2 env-steps/s per core).
+
+Detail mode (BENCH_ALL=1, or `python bench.py --all`): additionally
+measures the 8-block MatchRegions and 10-block ClusterColour families,
+hi fidelity, and a 1024/4096/16384 batch-scaling curve; rows go to
+stderr and BENCH_DETAIL.json (BASELINE.md scaling row evidence).
 """
 import json
 import os
@@ -20,7 +25,8 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jaxcc')
 BASELINE = 1e6  # env-steps/s per host (driver target; BASELINE.md)
 
 
-def measure(batch, scan_len=20, reps=4):
+def measure(env_name='MoveToCorner-Demo-LoRes4E-v0', batch=4096,
+            fidelity='lo', scan_len=20, reps=4):
     """Steady-state throughput of the production rollout loop: `scan_len`
     env steps fused in one jitted scan (how actor loops actually run),
     timed across a host fetch so async dispatch can't flatter the number.
@@ -29,7 +35,7 @@ def measure(batch, scan_len=20, reps=4):
     import jax.numpy as jnp
     from magical_tpu.api.batched_env import BatchedEnv
 
-    env = BatchedEnv('MoveToCorner-Demo-LoRes4E-v0', fidelity='lo')
+    env = BatchedEnv(env_name, fidelity=fidelity)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     carry, obs = env.reset(keys)
     acts = jnp.zeros((batch,), jnp.int32)
@@ -50,12 +56,12 @@ def measure(batch, scan_len=20, reps=4):
     return batch * scan_len * reps / (time.time() - t0)
 
 
-def main():
+def headline():
     batch = int(os.environ.get('BENCH_BATCH', 4096))
     err = None
     for b in (batch, batch // 2, batch // 4):
         try:
-            sps = measure(b)
+            sps = measure(batch=b)
             break
         except Exception as ex:      # noqa: BLE001 - fall back on OOM etc.
             err = ex
@@ -69,6 +75,50 @@ def main():
         'unit': 'env-steps/s',
         'vs_baseline': round(sps / BASELINE, 4),
     }))
+
+
+def detail():
+    """Per-task / fidelity / batch-scaling rows -> stderr + BENCH_DETAIL.json.
+
+    Covers the VERDICT round-1 gap: numbers for the 8-10-block tasks
+    (which exercise the big contact tables), the hi-fidelity render
+    path, and the BASELINE.md batch-scaling row."""
+    rows = []
+
+    def row(name, **kw):
+        t0 = time.time()
+        try:
+            sps = measure(**kw)
+            r = {'bench': name, 'env_steps_per_s': round(sps, 1),
+                 'wall_s': round(time.time() - t0, 1), **kw}
+        except Exception as ex:               # noqa: BLE001
+            r = {'bench': name, 'error': repr(ex)[:200], **kw}
+        rows.append(r)
+        print(json.dumps(r), file=sys.stderr, flush=True)
+
+    row('per-task MoveToCorner (1 block)',
+        env_name='MoveToCorner-Demo-LoRes4E-v0', batch=4096)
+    row('per-task MatchRegions (8 blocks)',
+        env_name='MatchRegions-Demo-LoRes4E-v0', batch=4096)
+    row('per-task ClusterColour (10 blocks)',
+        env_name='ClusterColour-Demo-LoRes4E-v0', batch=4096)
+    row('hi fidelity (384^2 render + box-mean)',
+        env_name='MoveToCorner-Demo-LoRes4E-v0', batch=1024,
+        fidelity='hi')
+    for b in (1024, 4096, 16384):
+        row(f'batch scaling {b}',
+            env_name='MoveToCorner-Demo-LoRes4E-v0', batch=b)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'BENCH_DETAIL.json')
+    with open(out, 'w') as f:
+        json.dump(rows, f, indent=1)
+    print(f'wrote {out}', file=sys.stderr)
+
+
+def main():
+    if os.environ.get('BENCH_ALL') or '--all' in sys.argv[1:]:
+        detail()
+    headline()
 
 
 if __name__ == '__main__':

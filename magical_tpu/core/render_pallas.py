@@ -19,6 +19,7 @@ render.py: filled convex poly/circle, plain outline, stippled outline.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,11 @@ from magical_tpu.geometry import NV
 
 ENV_TILE = 128          # envs per program (lane axis)
 PIX_TILE = 512          # pixels per program (sublane axis chunks of 8)
+
+# Interpret mode runs the kernel through the Pallas interpreter (any
+# backend, incl. CPU) for cross-validation without a TPU; see
+# tests/test_pallas_interpret.py.
+INTERPRET = os.environ.get('MAGICAL_TPU_PALLAS_INTERPRET', '') == '1'
 
 
 def _render_kernel(pix_ref, scale_ref, verts_ref, nv_ref, rad_ref, col_ref,
@@ -166,9 +172,12 @@ def _prep_display(display):
 
 
 def render_batch_pallas(states, max_blocks, max_goals, robot_first,
-                        res=96, views=('ego',), aa=True):
+                        res=96, views=('ego',), aa=True,
+                        env_tile=None, pix_tile=None):
     """Batched render via the Pallas kernel.  `states`: batched EnvState.
     Returns {view: (B, res, res, 3) uint8}."""
+    env_tile = env_tile or ENV_TILE
+    pix_tile = pix_tile or PIX_TILE
     display = jax.vmap(
         functools.partial(R.build_display_list, max_blocks=max_blocks,
                           max_goals=max_goals,
@@ -177,8 +186,8 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
     B = verts.shape[-1]
     P = verts.shape[0]
     n_pix = res * res
-    assert B % ENV_TILE == 0, B
-    assert n_pix % PIX_TILE == 0
+    assert B % env_tile == 0, B
+    assert n_pix % pix_tile == 0
 
     out = {}
     for view in views:
@@ -195,42 +204,43 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
 
         kernel = functools.partial(_render_kernel, n_prims=P, res=res,
                                    aa=aa)
-        grid = (B // ENV_TILE, n_pix // PIX_TILE)
+        grid = (B // env_tile, n_pix // pix_tile)
         img = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((PIX_TILE, ENV_TILE, 2),
+                pl.BlockSpec((pix_tile, env_tile, 2),
                              lambda e, t: (t, e, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ENV_TILE), lambda e, t: (0, e),
+                pl.BlockSpec((1, env_tile), lambda e, t: (0, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, NV, 2, ENV_TILE),
+                pl.BlockSpec((P, NV, 2, env_tile),
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, ENV_TILE),
+                pl.BlockSpec((P, 1, 1, env_tile),
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, ENV_TILE),
+                pl.BlockSpec((P, 1, 1, env_tile),
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 3, 1, ENV_TILE),
+                pl.BlockSpec((P, 3, 1, env_tile),
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, ENV_TILE),
+                pl.BlockSpec((P, 1, 1, env_tile),
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, ENV_TILE),
+                pl.BlockSpec((P, 1, 1, env_tile),
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, ENV_TILE),
+                pl.BlockSpec((P, 1, 1, env_tile),
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((PIX_TILE, ENV_TILE, 3),
+            out_specs=pl.BlockSpec((pix_tile, env_tile, 3),
                                    lambda e, t: (t, e, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pix, B, 3), jnp.float32),
+            interpret=INTERPRET,
         )(pix, scales, verts, nv, rad, colr, kind, lw, act)
 
         img = jnp.moveaxis(img, 1, 0).reshape(B, res, res, 3)

@@ -1,0 +1,116 @@
+"""Cross-validate the Pallas production kernels against the XLA
+reference paths through the Pallas *interpreter* — runs on any backend
+(CPU CI included), so the kernel the TPU fast path uses is exercised by
+the default suite, not just slow-marked TPU runs.
+
+The XLA paths are the reference semantics (CLAUDE.md repo conventions);
+these tests bound the kernel-path deviation documented in
+docs/DESIGN.md "Kernel-path fidelity deviations".
+"""
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magical_tpu import constants as C
+from magical_tpu.core import physics as P
+from magical_tpu.core import state as S
+
+A = {n: i for i, n in enumerate(C.ACTION_NAMES)}
+
+
+@contextlib.contextmanager
+def _interpret(mod):
+    """Force a Pallas module into interpreter mode (and clear any
+    kernel built with the previous flag)."""
+    old = mod.INTERPRET
+    mod.INTERPRET = True
+    if hasattr(mod, '_build'):
+        mod._build.cache_clear()
+    try:
+        yield
+    finally:
+        mod.INTERPRET = old
+        if hasattr(mod, '_build'):
+            mod._build.cache_clear()
+
+
+def test_physics_kernel_interpret_one_block():
+    from magical_tpu.core import physics_pallas as PP
+    B = 8
+    st = S.place_robot(S.make_initial_state(1, 1), (0.0, 0.0), 0.0)
+    st = S.place_block(st, 0, (0.0, 0.5), 0.0, int(C.ShapeType.SQUARE), 0)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st)
+    with _interpret(PP):
+        step_p = jax.jit(
+            lambda s, a: PP.control_step_pallas(s, a, env_tile=B))
+        step_x = jax.jit(jax.vmap(P.control_step, in_axes=(0, None)))
+        sp = sx = batch
+        acts = jnp.full((B,), A['UpOpen'], jnp.int32)
+        for _ in range(3):          # contact-rich: robot drives into block
+            sp = step_p(sp, acts)
+            sx = step_x(sx, A['UpOpen'])
+        np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(sx.pos),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sp.angle),
+                                   np.asarray(sx.angle), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_physics_kernel_interpret_cluster_ten_blocks():
+    # The big contact table (10 block slots -> ~710 pair candidates):
+    # the configuration that was gated off the kernel path in round 1.
+    from magical_tpu.core import physics_pallas as PP
+    from magical_tpu.tasks import ALL_TASKS
+    task = ALL_TASKS['ClusterColour']
+    assert task.max_blocks == 10
+    B = 8
+    states = jax.jit(jax.vmap(functools.partial(
+        task.reset_fn, flags=task.flags_for('Demo'))))(
+            jax.random.split(jax.random.PRNGKey(0), B))
+    with _interpret(PP):
+        step_p = jax.jit(
+            lambda s, a: PP.control_step_pallas(s, a, env_tile=B))
+        step_x = jax.jit(jax.vmap(P.control_step))
+        sp = sx = states
+        acts = jnp.full((B,), A['UpOpen'], jnp.int32)
+        for _ in range(3):
+            sp = step_p(sp, acts)
+            sx = step_x(sx, acts)
+        np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(sx.pos),
+                                   atol=1e-2)
+        # block spin is the loosest agreement (two-point manifolds in the
+        # kernel vs full clipping in XLA) — bound it, don't hide it
+        np.testing.assert_allclose(np.asarray(sp.angle),
+                                   np.asarray(sx.angle), atol=0.1)
+
+
+def test_render_kernel_interpret_both_views():
+    from magical_tpu.core import render as R
+    from magical_tpu.core import render_pallas as RP
+    from magical_tpu.tasks import ALL_TASKS
+    task = ALL_TASKS['MoveToRegion']
+    B = 8
+    states = jax.jit(jax.vmap(functools.partial(
+        task.reset_fn, flags=task.flags_for('Demo'))))(
+            jax.random.split(jax.random.PRNGKey(0), B))
+    with _interpret(RP):
+        pal = jax.jit(functools.partial(
+            RP.render_batch_pallas, max_blocks=task.max_blocks,
+            max_goals=task.max_goals, robot_first=False, res=96,
+            views=('allo', 'ego'), aa=True, env_tile=B,
+            pix_tile=1152))(states)
+        ref = jax.jit(jax.vmap(lambda s: R.render_views(
+            s, task.max_blocks, task.max_goals, False, res=96,
+            views=('allo', 'ego'), fidelity='lo')))(states)
+        for view in ('allo', 'ego'):
+            d = np.abs(np.asarray(pal[view]).astype(int)
+                       - np.asarray(ref[view]).astype(int))
+            assert d.mean() < 0.1, (view, d.mean())
+            # disagreement is confined to AA edge pixels
+            assert (d >= 8).mean() < 1e-3, (view, (d >= 8).mean())
