@@ -191,8 +191,10 @@ class BatchedEnv:
 
     # -- convenience -------------------------------------------------------
 
-    def rollout(self, carry, policy_fn, key, length: Optional[int] = None):
-        """Scan a full episode: policy_fn(obs, key) -> action."""
+    def rollout(self, carry, obs, policy_fn, key,
+                length: Optional[int] = None):
+        """Scan a full episode from (carry, obs) as returned by reset:
+        policy_fn(obs, key) -> action."""
         length = length or self.max_episode_steps
 
         def body(c, k):
@@ -203,7 +205,7 @@ class BatchedEnv:
 
         keys = jax.random.split(key, length)
         (carry, obs), (rews, dones, scores) = jax.lax.scan(
-            body, carry, keys)
+            body, (carry, obs), keys)
         return carry, obs, rews, dones, scores
 
     @property

@@ -10,6 +10,16 @@ of the full frame makes it bandwidth-bound.  This kernel keeps an image
   refs:   display-list arrays (P, ...) per env tile, image out
           (PIX_TILE, ENV_TILE, 3).
 
+Pixel world-coordinates are generated IN-KERNEL from the program ids
+and a (4, E) camera array (cos/sin of the robot angle + robot pos for
+the ego view) — streaming a precomputed (res^2, B, 2) coordinate array
+from HBM costs ~75 MB per view per 4096-env batch and was the largest
+input.  The prim loop blends INTO the VMEM output ref (stateful, like
+the physics kernel's loops) rather than carrying the image through a
+fori_loop functionally: the remote Mosaic compiler unrolls carried
+loops and keeps every iteration's temporaries live, which blew VMEM
+(781 MB requested vs 128 MB) on the first kernel layout.
+
 The display list is built by core/render.build_display_list (same
 painter's order and colours as the reference pipeline); only the
 compositing loop moves into Pallas.  Supported prim kinds match
@@ -32,7 +42,7 @@ from magical_tpu.core import render as R
 from magical_tpu.geometry import NV
 
 ENV_TILE = 128          # envs per program (lane axis)
-PIX_TILE = 512          # pixels per program (sublane axis chunks of 8)
+PIX_TILE = 256          # pixels per program (sublane axis chunks of 8)
 
 # Interpret mode runs the kernel through the Pallas interpreter (any
 # backend, incl. CPU) for cross-validation without a TPU; see
@@ -40,28 +50,49 @@ PIX_TILE = 512          # pixels per program (sublane axis chunks of 8)
 INTERPRET = os.environ.get('MAGICAL_TPU_PALLAS_INTERPRET', '') == '1'
 
 
-def _render_kernel(pix_ref, scale_ref, verts_ref, nv_ref, rad_ref, col_ref,
+def _render_kernel(cam_ref, verts_ref, nv_ref, rad_ref, col_ref,
                    kind_ref, lw_ref, act_ref, out_ref, *, n_prims, res,
-                   aa):
-    """Composite all prims over one (PIX_TILE, ENV_TILE) pixel block.
+                   aa, view, pix_tile):
+    """Composite all prims over one (pix_tile, env_tile) pixel block.
 
-    pix_ref:   (PIX_TILE, ENV_TILE, 2) world coords of pixel centres
-    scale_ref: (1, ENV_TILE) pixels-per-world-unit
+    cam_ref:   (4, ENV_TILE) [cos th, sin th, robot x, robot y] (ego)
     verts_ref: (P, NV, 2, ENV_TILE) world-space prim verts
     ...
-    out_ref:   (PIX_TILE, ENV_TILE, 3)
+    out_ref:   (3, pix_tile, ENV_TILE) — CHANNEL-major: envs stay on
+               the 128-lane axis for every store (a (pix, env, 3)
+               layout puts 3 channels on lanes -> 3/128 utilisation and
+               strided read-modify-writes; measured 36x slower)
     """
-    px = pix_ref[:, :, 0]
-    py = pix_ref[:, :, 1]
-    scale = scale_ref[0, :][None, :]                  # (1, E)
+    env_tile = cam_ref.shape[-1]
+    half = C.ARENA_ZOOM_OUT
+    scale = res / (2.0 * half)            # same constant for both views
     lw_scale = res / 384.0
 
-    img0 = (jnp.full(px.shape, C.BACKGROUND_COLOUR[0], jnp.float32),
-            jnp.full(px.shape, C.BACKGROUND_COLOUR[1], jnp.float32),
-            jnp.full(px.shape, C.BACKGROUND_COLOUR[2], jnp.float32))
+    # -- pixel world coords from the program id (row 0 = image top) ----
+    t = pl.program_id(1)
+    pid = (jax.lax.broadcasted_iota(
+        jnp.int32, (pix_tile, env_tile), 0).astype(jnp.float32)
+        + jnp.float32(pix_tile) * t.astype(jnp.float32))
+    rowf = jnp.floor(pid / jnp.float32(res))
+    colf = pid - rowf * jnp.float32(res)
+    if view == 'allo':
+        # render.allo_pixel_coords
+        px = (colf + 0.5) / scale - half
+        py = half - (rowf + 0.5) / scale
+    else:
+        # render.ego_pixel_coords: screen -> robot frame -> world
+        sx = (colf + 0.5) / scale - (2.0 * half) * 0.5
+        sy = (jnp.float32(res) - rowf - 0.5) / scale - (2.0 * half) * 0.15
+        cth = cam_ref[0, :][None, :]
+        sth = cam_ref[1, :][None, :]
+        px = cth * sx - sth * sy + cam_ref[2, :][None, :]
+        py = sth * sx + cth * sy + cam_ref[3, :][None, :]
 
-    def blend(p, img):
-        img_r, img_g, img_b = img
+    out_ref[0] = jnp.full(px.shape, C.BACKGROUND_COLOUR[0], jnp.float32)
+    out_ref[1] = jnp.full(px.shape, C.BACKGROUND_COLOUR[1], jnp.float32)
+    out_ref[2] = jnp.full(px.shape, C.BACKGROUND_COLOUR[2], jnp.float32)
+
+    def blend(p, _):
         nv = nv_ref[p, 0, 0, :][None, :]              # (1, E)
         radius = rad_ref[p, 0, 0, :][None, :]
         active = act_ref[p, 0, 0, :][None, :]
@@ -141,14 +172,14 @@ def _render_kernel(pix_ref, scale_ref, verts_ref, nv_ref, rad_ref, col_ref,
         cg = col_ref[p, 1, 0, :][None, :]
         cb = col_ref[p, 2, 0, :][None, :]
         one_m = 1.0 - alpha
-        return (img_r * one_m + cr * alpha,
-                img_g * one_m + cg * alpha,
-                img_b * one_m + cb * alpha)
+        # blend in place: keeps per-iteration liveness bounded even if
+        # the Mosaic compiler unrolls the loop
+        out_ref[0] = out_ref[0] * one_m + cr * alpha
+        out_ref[1] = out_ref[1] * one_m + cg * alpha
+        out_ref[2] = out_ref[2] * one_m + cb * alpha
+        return 0
 
-    img_r, img_g, img_b = jax.lax.fori_loop(0, n_prims, blend, img0)
-    out_ref[:, :, 0] = img_r
-    out_ref[:, :, 1] = img_g
-    out_ref[:, :, 2] = img_b
+    jax.lax.fori_loop(0, n_prims, blend, 0)
 
 
 def _prep_display(display):
@@ -189,30 +220,20 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
     assert B % env_tile == 0, B
     assert n_pix % pix_tile == 0
 
+    theta = states.angle[:, 0]
+    cam = jnp.stack([jnp.cos(theta), jnp.sin(theta),
+                     states.pos[:, 0, 0], states.pos[:, 0, 1]])  # (4, B)
+
     out = {}
     for view in views:
-        if view == 'allo':
-            pix1, scale = R.allo_pixel_coords(res)
-            pix = jnp.broadcast_to(
-                pix1.reshape(n_pix, 1, 2), (n_pix, B, 2))
-            scales = jnp.full((1, B), scale, jnp.float32)
-        else:
-            pixs, scale = jax.vmap(
-                functools.partial(R.ego_pixel_coords, res=res))(states)
-            pix = jnp.moveaxis(pixs.reshape(B, n_pix, 2), 0, 1)
-            scales = jnp.full((1, B), scale, jnp.float32)
-
         kernel = functools.partial(_render_kernel, n_prims=P, res=res,
-                                   aa=aa)
+                                   aa=aa, view=view, pix_tile=pix_tile)
         grid = (B // env_tile, n_pix // pix_tile)
         img = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((pix_tile, env_tile, 2),
-                             lambda e, t: (t, e, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, env_tile), lambda e, t: (0, e),
+                pl.BlockSpec((4, env_tile), lambda e, t: (0, e),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, NV, 2, env_tile),
                              lambda e, t: (0, 0, 0, e),
@@ -236,13 +257,22 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                              lambda e, t: (0, 0, 0, e),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((pix_tile, env_tile, 3),
-                                   lambda e, t: (t, e, 0),
+            out_specs=pl.BlockSpec((3, pix_tile, env_tile),
+                                   lambda e, t: (0, t, e),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pix, B, 3), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((3, n_pix, B), jnp.float32),
+            # the Mosaic compiler unrolls the prim loop; the default
+            # 16 MB scoped-vmem stack is too small for the unrolled
+            # temporaries at this tile size — raise the kernel's limit
+            # (windows here are tiny, VMEM is otherwise idle)
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'parallel'),
+                vmem_limit_bytes=100 * 2 ** 20),
             interpret=INTERPRET,
-        )(pix, scales, verts, nv, rad, colr, kind, lw, act)
+        )(cam, verts, nv, rad, colr, kind, lw, act)
 
-        img = jnp.moveaxis(img, 1, 0).reshape(B, res, res, 3)
-        out[view] = R.to_uint8(img)
+        # quantise BEFORE the (3, pix, env) -> (env, res, res, 3)
+        # transpose: the reshuffle then moves uint8, not f32 (4x less)
+        img8 = R.to_uint8(img)
+        out[view] = jnp.transpose(img8, (2, 1, 0)).reshape(B, res, res, 3)
     return out

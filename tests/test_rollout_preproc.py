@@ -103,15 +103,26 @@ def test_gym_adapter():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('env_name', [
-    n for n in magical_tpu.ALL_REGISTERED_ENVS
-    if n.endswith('-v0') and ('LoRes4E' in n or '-Demo-v0' in n
-                              or 'TestAll-v0' in n)])
+@pytest.mark.parametrize('env_name', magical_tpu.ALL_REGISTERED_ENVS)
 def test_broad_episode_sweep(env_name):
+    # The reference's bar: EVERY registered ID rolls complete episodes
+    # of random actions and terminates exactly at max_episode_steps
+    # (/root/reference/tests/test_rollout_preproc.py:17-36).  Here the
+    # episode runs as one lax.scan (2 envs) so each env family compiles
+    # once; scores must land in [0, 1] and fire only at the final step.
     env = BatchedEnv(env_name)
     keys = jax.random.split(jax.random.PRNGKey(7), 2)
     carry, obs = env.reset(keys)
-    for t in range(min(env.max_episode_steps, 10)):
-        acts = jax.random.randint(jax.random.PRNGKey(t), (2,), 0, 18)
-        carry, obs, rew, done, info = env.step(carry, acts)
+
+    def policy(obs, k):
+        return jax.random.randint(k, (2,), 0, 18)
+
+    carry, obs, rews, dones, scores = env.rollout(
+        carry, obs, policy, jax.random.PRNGKey(42))
+    dones = np.asarray(dones)
+    scores = np.asarray(scores)
+    assert dones.shape[0] == env.max_episode_steps
+    assert dones[-1].all() and not dones[:-1].any()
+    assert ((scores[-1] >= 0.0) & (scores[-1] <= 1.0)).all()
+    assert (scores[:-1] == 0.0).all()
     assert np.isfinite(np.asarray(carry.state.pos)).all()
