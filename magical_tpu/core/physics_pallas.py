@@ -525,7 +525,9 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             def best2_rows(dv, px_, py_, nx_, ny_):
                 """Two smallest-dist rows of (KSUB, E) contact fields as
                 (1, E) tuples (ties broken by lowest row index)."""
-                row = jax.lax.broadcasted_iota(jnp.float32, dv.shape, 0)
+                # int32 iota: the TPU verifier rejects f32 tpu.iota
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, dv.shape, 0).astype(jnp.float32)
 
                 def pick(x, sel):
                     return jnp.sum(jnp.where(sel, x, 0.0), axis=0,

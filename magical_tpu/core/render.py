@@ -73,12 +73,20 @@ def _static_prims():
 
 
 def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
-                       robot_first: bool):
-    """World-space display list: dict of stacked (P, ...) prim arrays."""
+                       robot_first: bool, _meta_out=None):
+    """World-space display list: dict of stacked (P, ...) prim arrays.
+
+    `_meta_out`: optional list; when given, per-slot STATIC metadata
+    (kind, line width, static vertex count or None if env-dependent) is
+    appended — harvested once per env family by static_prim_meta for
+    kernel specialisation."""
     verts_l, colors_l, nv_l, rad_l, kind_l, lw_l, act_l = \
         [], [], [], [], [], [], []
 
     def emit(verts, nv, radius, color, kind=KIND_FILL, lw=0.0, active=True):
+        if _meta_out is not None:
+            _meta_out.append(
+                (kind, float(lw), nv if isinstance(nv, int) else None))
         verts_l.append(verts)
         nv_l.append(jnp.asarray(nv, jnp.int32))
         rad_l.append(jnp.asarray(radius, jnp.float32))
@@ -174,6 +182,19 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
         active=jnp.stack(act_l))
 
 
+@functools.lru_cache(maxsize=None)
+def static_prim_meta(max_blocks: int, max_goals: int, robot_first: bool):
+    """Per-slot static metadata tuple ((kind, lw, nv-or-None), ...) in
+    emit order — everything about a display slot that does NOT depend on
+    env state, so kernels can specialise per slot at trace time."""
+    from magical_tpu.core import state as S
+    meta = []
+    build_display_list(S.make_initial_state(max_blocks, max_goals),
+                       max_blocks, max_goals, robot_first,
+                       _meta_out=meta)
+    return tuple(meta)
+
+
 # ---------------------------------------------------------------------------
 # Cameras (gym_render.py:176-200, base_env.py:294-307)
 # ---------------------------------------------------------------------------
@@ -263,22 +284,6 @@ def _box_arclen(pix, verts):
     return best_s
 
 
-def static_prim_meta(max_blocks: int, max_goals: int):
-    """Compile-time (kind, lw) per display-list slot — the draw-order
-    structure is static per task, only geometry/colours are dynamic."""
-    kinds = [KIND_FILL, KIND_LINE]                       # arena
-    lws = [ARENA_BORDER_LW, ARENA_BORDER_LW]
-    lws[0] = 0.0
-    for _g in range(max_goals):
-        kinds += [KIND_FILL, KIND_LINE_STIPPLE]
-        lws += [0.0, GOAL_BORDER_LW]
-    n_robot = 8 + 2 + 4                                   # fingers+body+eyes
-    n_block = 2 * KSUB * max_blocks
-    kinds += [KIND_FILL] * (n_robot + n_block)
-    lws += [0.0] * (n_robot + n_block)
-    return tuple(kinds), tuple(lws)
-
-
 def render_frame(display, pix, scale, res: int, aa: bool,
                  static_meta=None):
     """Rasterise the display list over pixel-centre world coords `pix`
@@ -366,9 +371,8 @@ def render_views(state: EnvState, max_blocks: int, max_goals: int,
     display = build_display_list(state, max_blocks, max_goals, robot_first)
     out = {}
     for view in views:
-        # robot/block prims are all plain fills, so the static meta is
-        # order-independent between the robot_first layouts
-        meta = static_prim_meta(max_blocks, max_goals)
+        meta3 = static_prim_meta(max_blocks, max_goals, robot_first)
+        meta = (tuple(m[0] for m in meta3), tuple(m[1] for m in meta3))
         if fidelity == 'hi':
             r = res * 4
             pix, scale = (allo_pixel_coords(r) if view == 'allo'

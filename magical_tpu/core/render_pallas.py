@@ -6,19 +6,27 @@ of the full frame makes it bandwidth-bound.  This kernel keeps an image
 *tile* resident in VMEM and composites every primitive in one pass:
 
   layout: pixels on the sublane axis, envs on the lane axis.
-  grid:   (env_tiles, pixel_tiles)
-  refs:   display-list arrays (P, ...) per env tile, image out
-          (PIX_TILE, ENV_TILE, 3).
+  grid:   (env_tiles, pixel_tiles)   (a pixel tile = a slab of rows)
+  out:    (3, pix_tile, ENV_TILE) per program — CHANNEL-major so envs
+          stay on the 128-lane axis for every store (a (pix, env, 3)
+          layout puts the 3 channels on lanes -> 3/128 utilisation and
+          strided read-modify-writes; measured 36x slower).
 
-Pixel world-coordinates are generated IN-KERNEL from the program ids
-and a (4, E) camera array (cos/sin of the robot angle + robot pos for
-the ego view) — streaming a precomputed (res^2, B, 2) coordinate array
-from HBM costs ~75 MB per view per 4096-env batch and was the largest
-input.  The prim loop blends INTO the VMEM output ref (stateful, like
-the physics kernel's loops) rather than carrying the image through a
-fori_loop functionally: the remote Mosaic compiler unrolls carried
-loops and keeps every iteration's temporaries live, which blew VMEM
-(781 MB requested vs 128 MB) on the first kernel layout.
+Three design rules learned on the remote Mosaic toolchain (see git
+history for the measured failures):
+
+  1. Blend INTO the VMEM output ref (stateful loop) — functionally
+     carried image tiles get unrolled with every iteration's
+     temporaries live (781 MB VMEM requested vs 128 available).
+  2. Per-prim STATIC specialisation: kind / line width / vertex count
+     are static per display slot (render.static_prim_meta), so each
+     slot's blend is traced with only the math it needs (goal-border
+     stipple arc-length is ~25 ops that 90% of slots skip).
+  3. Work in SCREEN space: vertices are pre-transformed per view in
+     XLA (cheap: P x NV x 2 per env) so the kernel needs no camera
+     input, and a per-slot y-bbox lets each program skip prims whose
+     bounding band misses its row slab entirely (pl.when) — blocks are
+     ~11 px tall vs a 96-row image.
 
 The display list is built by core/render.build_display_list (same
 painter's order and colours as the reference pipeline); only the
@@ -50,156 +58,164 @@ PIX_TILE = 256          # pixels per program (sublane axis chunks of 8)
 INTERPRET = os.environ.get('MAGICAL_TPU_PALLAS_INTERPRET', '') == '1'
 
 
-def _render_kernel(cam_ref, verts_ref, nv_ref, rad_ref, col_ref,
-                   kind_ref, lw_ref, act_ref, out_ref, *, n_prims, res,
-                   aa, view, pix_tile):
-    """Composite all prims over one (pix_tile, env_tile) pixel block.
+def _edge_sdf(px, py, ax, ay, bx, by):
+    """Signed distance of pixels to the (a->b) face plane (outward left
+    normal for CCW winding), relative to the edge's outward normal."""
+    ex = bx - ax
+    ey = by - ay
+    inv = jax.lax.rsqrt(jnp.maximum(ex * ex + ey * ey, 1e-18))
+    nx = ey * inv
+    ny = -ex * inv
+    return nx * (px - ax) + ny * (py - ay)
 
-    cam_ref:   (4, ENV_TILE) [cos th, sin th, robot x, robot y] (ego)
-    verts_ref: (P, NV, 2, ENV_TILE) world-space prim verts
-    ...
-    out_ref:   (3, pix_tile, ENV_TILE) — CHANNEL-major: envs stay on
-               the 128-lane axis for every store (a (pix, env, 3)
-               layout puts 3 channels on lanes -> 3/128 utilisation and
-               strided read-modify-writes; measured 36x slower)
+
+def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
+                   out_ref, *, meta, res, aa, pix_tile):
+    """Composite all prims over one (pix_tile, env_tile) slab.
+
+    verts_ref: (P, NV, 2, E) SCREEN-space verts (y-up pixel units)
+    nv_ref/rad_ref/act_ref: (P, 1, 1, E); col_ref: (P, 3, 1, E)
+    ybb_ref:   (P, 2, 1, E) margin-expanded [ymin, ymax] per prim
+    out_ref:   (3, pix_tile, E)
     """
-    env_tile = cam_ref.shape[-1]
-    half = C.ARENA_ZOOM_OUT
-    scale = res / (2.0 * half)            # same constant for both views
-    lw_scale = res / 384.0
+    env_tile = out_ref.shape[-1]
+    resf = jnp.float32(res)
 
-    # -- pixel world coords from the program id (row 0 = image top) ----
     t = pl.program_id(1)
+    tf = t.astype(jnp.float32)
     pid = (jax.lax.broadcasted_iota(
         jnp.int32, (pix_tile, env_tile), 0).astype(jnp.float32)
-        + jnp.float32(pix_tile) * t.astype(jnp.float32))
-    rowf = jnp.floor(pid / jnp.float32(res))
-    colf = pid - rowf * jnp.float32(res)
-    if view == 'allo':
-        # render.allo_pixel_coords
-        px = (colf + 0.5) / scale - half
-        py = half - (rowf + 0.5) / scale
-    else:
-        # render.ego_pixel_coords: screen -> robot frame -> world
-        sx = (colf + 0.5) / scale - (2.0 * half) * 0.5
-        sy = (jnp.float32(res) - rowf - 0.5) / scale - (2.0 * half) * 0.15
-        cth = cam_ref[0, :][None, :]
-        sth = cam_ref[1, :][None, :]
-        px = cth * sx - sth * sy + cam_ref[2, :][None, :]
-        py = sth * sx + cth * sy + cam_ref[3, :][None, :]
+        + jnp.float32(pix_tile) * tf)
+    rowf = jnp.floor(pid / resf)
+    colf = pid - rowf * resf
+    px = colf + 0.5
+    py = resf - rowf - 0.5                       # y-up pixel centres
+
+    # slab y-range (for prim culling)
+    row_lo = jnp.floor(tf * pix_tile / resf)
+    row_hi = jnp.floor((tf * pix_tile + (pix_tile - 1)) / resf)
+    slab_ylo = resf - row_hi - 0.5
+    slab_yhi = resf - row_lo - 0.5
 
     out_ref[0] = jnp.full(px.shape, C.BACKGROUND_COLOUR[0], jnp.float32)
     out_ref[1] = jnp.full(px.shape, C.BACKGROUND_COLOUR[1], jnp.float32)
     out_ref[2] = jnp.full(px.shape, C.BACKGROUND_COLOUR[2], jnp.float32)
 
-    def blend(p, _):
-        nv = nv_ref[p, 0, 0, :][None, :]              # (1, E)
+    def vx(p, i):
+        return verts_ref[p, i, 0, :][None, :]
+
+    def vy(p, i):
+        return verts_ref[p, i, 1, :][None, :]
+
+    for p, (kind, lw, nvs) in enumerate(meta):
         radius = rad_ref[p, 0, 0, :][None, :]
         active = act_ref[p, 0, 0, :][None, :]
-        kind = kind_ref[p, 0, 0, :][None, :]
-        lw = lw_ref[p, 0, 0, :][None, :]
 
-        # signed distance: circle if nv == 1 else max over face planes
-        v0x = verts_ref[p, 0, 0, :][None, :]
-        v0y = verts_ref[p, 0, 1, :][None, :]
-        d_circ = jnp.sqrt((px - v0x) ** 2 + (py - v0y) ** 2) - radius
+        def blend(p=p, kind=kind, lw=lw, nvs=nvs, radius=radius,
+                  active=active):
+            # ---- signed distance (pixel units) -----------------------
+            if nvs == 1:                       # static circle
+                d = jnp.sqrt((px - vx(p, 0)) ** 2
+                             + (py - vy(p, 0)) ** 2) - radius
+            elif nvs is not None:              # static nvs-gon
+                d = _edge_sdf(px, py, vx(p, 0), vy(p, 0),
+                              vx(p, 1), vy(p, 1))
+                for i in range(1, nvs):
+                    d = jnp.maximum(d, _edge_sdf(
+                        px, py, vx(p, i), vy(p, i),
+                        vx(p, (i + 1) % nvs), vy(p, (i + 1) % nvs)))
+                d = d - radius
+            else:                              # block slot: env-dependent
+                nv = nv_ref[p, 0, 0, :][None, :]
+                v0x, v0y = vx(p, 0), vy(p, 0)
+                d_circ = jnp.sqrt((px - v0x) ** 2
+                                  + (py - v0y) ** 2) - radius
+                d_poly = jnp.full(px.shape, -1e9, jnp.float32)
+                for i in range(NV):
+                    ax, ay = vx(p, i), vy(p, i)
+                    is_last = (nv - 1.0 == i)
+                    bx = jnp.where(is_last, v0x, vx(p, (i + 1) % NV))
+                    by = jnp.where(is_last, v0y, vy(p, (i + 1) % NV))
+                    ex = bx - ax
+                    ey = by - ay
+                    el2 = ex * ex + ey * ey
+                    inv = jax.lax.rsqrt(jnp.maximum(el2, 1e-18))
+                    d_face = (ey * (px - ax) - ex * (py - ay)) * inv
+                    ok = (i < nv) & (el2 > 1e-18)
+                    d_poly = jnp.where(ok, jnp.maximum(d_poly, d_face),
+                                       d_poly)
+                d = jnp.where(nv == 1.0, d_circ, d_poly - radius)
 
-        d_poly = jnp.full(px.shape, -1e9, jnp.float32)
-        for i in range(NV):
-            ax = verts_ref[p, i, 0, :][None, :]
-            ay = verts_ref[p, i, 1, :][None, :]
-            nxt = (i + 1) % NV
-            bx_pad = verts_ref[p, nxt, 0, :][None, :]
-            by_pad = verts_ref[p, nxt, 1, :][None, :]
-            is_last = (nv - 1.0 == i)
-            bx = jnp.where(is_last, v0x, bx_pad)
-            by = jnp.where(is_last, v0y, by_pad)
-            ex = bx - ax
-            ey = by - ay
-            elen = jnp.sqrt(ex * ex + ey * ey)
-            inv_elen = 1.0 / jnp.maximum(elen, 1e-9)
-            nx = ey * inv_elen
-            ny = -ex * inv_elen
-            d_face = nx * (px - ax) + ny * (py - ay)
-            edge_ok = (i < nv) & (elen > 1e-9)
-            d_poly = jnp.where(edge_ok, jnp.maximum(d_poly, d_face), d_poly)
-        d_poly = d_poly - radius
-        d = jnp.where(nv == 1.0, d_circ, d_poly)
+            # ---- coverage -------------------------------------------
+            if kind == R.KIND_FILL:
+                if aa:
+                    alpha = jnp.clip(0.5 - d, 0.0, 1.0)
+                else:
+                    alpha = (d < 0.0).astype(jnp.float32)
+            else:
+                half_lw = max(lw * res / 384.0, 1.0) * 0.5
+                alpha = jnp.clip(half_lw - jnp.abs(d) + 0.5, 0.0, 1.0)
 
-        if aa:
-            alpha_fill = jnp.clip(0.5 - d * scale, 0.0, 1.0)
+            if kind == R.KIND_LINE_STIPPLE:
+                # 8 px on / 8 px off along the border, arc length from
+                # vertex 0 (nvs is statically 4 for goal borders)
+                best_d2 = jnp.full(px.shape, 1e18, jnp.float32)
+                best_s = jnp.zeros(px.shape, jnp.float32)
+                cum = jnp.zeros((1, env_tile), jnp.float32)
+                for i in range(nvs):
+                    ax, ay = vx(p, i), vy(p, i)
+                    bx, by = vx(p, (i + 1) % nvs), vy(p, (i + 1) % nvs)
+                    ex = bx - ax
+                    ey = by - ay
+                    el2 = jnp.maximum(ex * ex + ey * ey, 1e-18)
+                    el = jnp.sqrt(el2)
+                    tp = jnp.clip(((px - ax) * ex + (py - ay) * ey)
+                                  / el2, 0.0, 1.0)
+                    qx = ax + tp * ex
+                    qy = ay + tp * ey
+                    d2 = (px - qx) ** 2 + (py - qy) ** 2
+                    s_i = cum + tp * el
+                    pick = d2 < best_d2
+                    best_s = jnp.where(pick, s_i, best_s)
+                    best_d2 = jnp.minimum(best_d2, d2)
+                    cum = cum + el
+                on = jnp.floor(best_s
+                               - 16.0 * jnp.floor(best_s / 16.0)) < 8.0
+                alpha = alpha * on.astype(jnp.float32)
+
+            alpha = jnp.where(active > 0.5, alpha, 0.0)
+            one_m = 1.0 - alpha
+            cr = col_ref[p, 0, 0, :][None, :]
+            cg = col_ref[p, 1, 0, :][None, :]
+            cb = col_ref[p, 2, 0, :][None, :]
+            out_ref[0] = out_ref[0] * one_m + cr * alpha
+            out_ref[1] = out_ref[1] * one_m + cg * alpha
+            out_ref[2] = out_ref[2] * one_m + cb * alpha
+
+        if p < 2:
+            blend()                 # arena fill+border span every slab
         else:
-            alpha_fill = (d < 0.0).astype(jnp.float32)
-        half_lw_w = jnp.maximum(lw * lw_scale, 1.0) / (2.0 * scale)
-        alpha_line = jnp.clip((half_lw_w - jnp.abs(d)) * scale + 0.5,
-                              0.0, 1.0)
-        is_line = kind != float(R.KIND_FILL)
-        alpha = jnp.where(is_line, alpha_line, alpha_fill)
-
-        # stipple (goal borders): 8 px on / 8 px off along the box
-        # perimeter measured from vertex 0, CCW (axis-aligned goal boxes)
-        is_stip = kind == float(R.KIND_LINE_STIPPLE)
-        v1x = verts_ref[p, 1, 0, :][None, :]
-        v1y = verts_ref[p, 1, 1, :][None, :]
-        v2x = verts_ref[p, 2, 0, :][None, :]
-        v2y = verts_ref[p, 2, 1, :][None, :]
-        v3y = verts_ref[p, 3, 1, :][None, :]
-        w_box = jnp.abs(v0x - v1x)
-        h_box = jnp.abs(v1y - v2y)
-        d_top = jnp.abs(py - v0y)
-        d_left = jnp.abs(px - v1x)
-        d_bot = jnp.abs(py - v2y)
-        d_right = jnp.abs(px - v0x)
-        cx = jnp.clip(px, jnp.minimum(v1x, v0x), jnp.maximum(v1x, v0x))
-        cy = jnp.clip(py, jnp.minimum(v2y, v1y), jnp.maximum(v2y, v1y))
-        s_top = v0x - cx
-        s_left = w_box + (v1y - cy)
-        s_bot = w_box + h_box + (cx - v1x)
-        s_right = 2 * w_box + h_box + (cy - v3y)
-        md = jnp.minimum(jnp.minimum(d_top, d_bot),
-                         jnp.minimum(d_left, d_right))
-        s_arc = jnp.where(
-            md == d_top, s_top,
-            jnp.where(md == d_left, s_left,
-                      jnp.where(md == d_bot, s_bot, s_right)))
-        s_px = s_arc * scale
-        stip_on = jnp.floor(s_px - 16.0 * jnp.floor(s_px / 16.0)) < 8.0
-        alpha = jnp.where(is_stip, alpha * stip_on.astype(jnp.float32),
-                          alpha)
-
-        alpha = jnp.where(active > 0.5, alpha, 0.0)
-        cr = col_ref[p, 0, 0, :][None, :]
-        cg = col_ref[p, 1, 0, :][None, :]
-        cb = col_ref[p, 2, 0, :][None, :]
-        one_m = 1.0 - alpha
-        # blend in place: keeps per-iteration liveness bounded even if
-        # the Mosaic compiler unrolls the loop
-        out_ref[0] = out_ref[0] * one_m + cr * alpha
-        out_ref[1] = out_ref[1] * one_m + cg * alpha
-        out_ref[2] = out_ref[2] * one_m + cb * alpha
-        return 0
-
-    jax.lax.fori_loop(0, n_prims, blend, 0)
+            hit = jnp.any((ybb_ref[p, 1, 0, :] >= slab_ylo)
+                          & (ybb_ref[p, 0, 0, :] <= slab_yhi))
+            pl.when(hit)(blend)
 
 
-def _prep_display(display):
-    """Convert a (batched) display dict into lane-major float arrays.
-
-    display entries are (B, P, ...); returns:
-      verts (B->, P, NV, 2) -> (P, NV, 2, B) f32
-      per-prim scalars -> (P, 1, 1, B) f32
-      colours -> (P, 3, 1, B)
-    """
-    verts = jnp.moveaxis(display['verts'], 0, -1)           # (P,NV,2,B)
-    def scal(x):
-        return jnp.moveaxis(x, 0, -1)[:, None, None, :].astype(jnp.float32)
-    nv = scal(display['nv'])
-    rad = scal(display['radius'])
-    kind = scal(display['kind'])
-    lw = scal(display['lw'])
-    act = scal(display['active'])
-    colr = jnp.moveaxis(display['color'], 0, -1)[:, :, None, :]
-    return verts, nv, rad, colr, kind, lw, act
+def _screen_verts(wverts, states, view, res):
+    """World (B, P, NV, 2) -> screen-space y-up pixel coords (same
+    transform as render.allo_pixel_coords / ego_pixel_coords, inverted
+    onto the vertices so the kernel needs no camera)."""
+    half = C.ARENA_ZOOM_OUT
+    scale = res / (2.0 * half)
+    if view == 'allo':
+        return (wverts + half) * scale
+    th = states.angle[:, 0]
+    c = jnp.cos(th)[:, None, None]
+    s = jnp.sin(th)[:, None, None]
+    rel = wverts - states.pos[:, 0][:, None, None, :]
+    gx = c * rel[..., 0] + s * rel[..., 1]          # R(-theta)
+    gy = -s * rel[..., 0] + c * rel[..., 1]
+    return jnp.stack([(gx + (2.0 * half) * 0.5) * scale,
+                      (gy + (2.0 * half) * 0.15) * scale], -1)
 
 
 def render_batch_pallas(states, max_blocks, max_goals, robot_first,
@@ -213,49 +229,59 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
         functools.partial(R.build_display_list, max_blocks=max_blocks,
                           max_goals=max_goals,
                           robot_first=robot_first))(states)
-    verts, nv, rad, colr, kind, lw, act = _prep_display(display)
-    B = verts.shape[-1]
-    P = verts.shape[0]
+    meta = R.static_prim_meta(max_blocks, max_goals, robot_first)
+    B = display['verts'].shape[0]
+    P = display['verts'].shape[1]
+    assert len(meta) == P, (len(meta), P)
     n_pix = res * res
     assert B % env_tile == 0, B
     assert n_pix % pix_tile == 0
 
-    theta = states.angle[:, 0]
-    cam = jnp.stack([jnp.cos(theta), jnp.sin(theta),
-                     states.pos[:, 0, 0], states.pos[:, 0, 1]])  # (4, B)
+    half = C.ARENA_ZOOM_OUT
+    scale = res / (2.0 * half)
+    rad_px = display['radius'] * scale                       # (B, P)
+    # per-slot bbox margin: AA half-pixel + line half-width, static
+    margin = np.asarray(
+        [1.0 + (0.0 if kind == R.KIND_FILL
+                else max(lw * res / 384.0, 1.0) * 0.5)
+         for kind, lw, _ in meta], np.float32)               # (P,)
+
+    def scal(x):                  # (B, P) -> (P, 1, 1, B) f32
+        return jnp.moveaxis(x, 0, -1)[:, None, None, :].astype(jnp.float32)
+
+    nv_in = scal(display['nv'])
+    rad_in = scal(rad_px)
+    act_in = scal(display['active'])
+    col_in = jnp.moveaxis(display['color'], 0, -1)[:, :, None, :]
 
     out = {}
     for view in views:
-        kernel = functools.partial(_render_kernel, n_prims=P, res=res,
-                                   aa=aa, view=view, pix_tile=pix_tile)
+        sv = _screen_verts(display['verts'], states, view, res)
+        ys = sv[..., 1]                                      # (B, P, NV)
+        ymin = ys.min(axis=2) - rad_px - margin[None, :]
+        ymax = ys.max(axis=2) + rad_px + margin[None, :]
+        ybb = jnp.stack([ymin, ymax], -1)                    # (B, P, 2)
+        verts_in = jnp.moveaxis(sv, 0, -1)                   # (P,NV,2,B)
+        ybb_in = jnp.moveaxis(ybb, 0, -1)[:, :, None, :]     # (P,2,1,B)
+
+        kernel = functools.partial(_render_kernel, meta=meta, res=res,
+                                   aa=aa, pix_tile=pix_tile)
         grid = (B // env_tile, n_pix // pix_tile)
+
+        def pspec(*block):
+            return pl.BlockSpec(block, lambda e, t: (0,) * (len(block) - 1)
+                                + (e,), memory_space=pltpu.VMEM)
+
         img = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((4, env_tile), lambda e, t: (0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, NV, 2, env_tile),
-                             lambda e, t: (0, 0, 0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, env_tile),
-                             lambda e, t: (0, 0, 0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, env_tile),
-                             lambda e, t: (0, 0, 0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 3, 1, env_tile),
-                             lambda e, t: (0, 0, 0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, env_tile),
-                             lambda e, t: (0, 0, 0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, env_tile),
-                             lambda e, t: (0, 0, 0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1, 1, env_tile),
-                             lambda e, t: (0, 0, 0, e),
-                             memory_space=pltpu.VMEM),
+                pspec(P, NV, 2, env_tile),
+                pspec(P, 1, 1, env_tile),
+                pspec(P, 1, 1, env_tile),
+                pspec(P, 3, 1, env_tile),
+                pspec(P, 1, 1, env_tile),
+                pspec(P, 2, 1, env_tile),
             ],
             out_specs=pl.BlockSpec((3, pix_tile, env_tile),
                                    lambda e, t: (0, t, e),
@@ -269,7 +295,7 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                 dimension_semantics=('parallel', 'parallel'),
                 vmem_limit_bytes=100 * 2 ** 20),
             interpret=INTERPRET,
-        )(cam, verts, nv, rad, colr, kind, lw, act)
+        )(verts_in, nv_in, rad_in, col_in, act_in, ybb_in)
 
         # quantise BEFORE the (3, pix, env) -> (env, res, res, 3)
         # transpose: the reshuffle then moves uint8, not f32 (4x less)
