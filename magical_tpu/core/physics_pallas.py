@@ -205,7 +205,9 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
         """Refs:
         body_st: (9, NB+1, E) scratch: px,py,ang,vx,vy,w,vbx,vby,wb
                  (row nb = the static body, always zero)
-        lgeo:    (3 + 2*NV, NS, E): nv, rad, act, then local verts x/y
+        lgeo:    (NS, 3 + 2*NV, E): per sub-shape slot: nv, rad, act,
+                 then local verts x/y — slot index LEADING so dynamic
+                 slot indexing avoids sublane alignment constraints
                  interleaved (lx0, ly0, lx1, ...)
         wvx/wvy: (NS, NV, E) world verts
         c*:      (KC, E) candidate contact fields
@@ -242,13 +244,13 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
         # ---- local slot geometry into scratch ------------------------
         for s in range(5):
-            lgeo[0, s, :] = jnp.full((E,), robot_nv[s], jnp.float32)
-            lgeo[1, s, :] = jnp.full((E,), robot_rad[s], jnp.float32)
-            lgeo[2, s, :] = jnp.ones((E,), jnp.float32)
+            lgeo[s, 0, :] = jnp.full((E,), robot_nv[s], jnp.float32)
+            lgeo[s, 1, :] = jnp.full((E,), robot_rad[s], jnp.float32)
+            lgeo[s, 2, :] = jnp.ones((E,), jnp.float32)
             for v in range(NV):
-                lgeo[3 + 2 * v, s, :] = jnp.full(
+                lgeo[s, 3 + 2 * v, :] = jnp.full(
                     (E,), robot_local[s, v, 0], jnp.float32)
-                lgeo[4 + 2 * v, s, :] = jnp.full(
+                lgeo[s, 4 + 2 * v, :] = jnp.full(
                     (E,), robot_local[s, v, 1], jnp.float32)
         for b in range(mb):
             for k in range(KSUB):
@@ -268,12 +270,12 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                             m, float(G.BLOCK_VERTS[t, k, v, 0]), vxs[v])
                         vys[v] = jnp.where(
                             m, float(G.BLOCK_VERTS[t, k, v, 1]), vys[v])
-                lgeo[0, s, :] = nvv[0]
-                lgeo[1, s, :] = rad[0]
-                lgeo[2, s, :] = (acs * bactive[b])[0]
+                lgeo[s, 0, :] = nvv[0]
+                lgeo[s, 1, :] = rad[0]
+                lgeo[s, 2, :] = (acs * bactive[b])[0]
                 for v in range(NV):
-                    lgeo[3 + 2 * v, s, :] = vxs[v][0]
-                    lgeo[4 + 2 * v, s, :] = vys[v][0]
+                    lgeo[s, 3 + 2 * v, :] = vxs[v][0]
+                    lgeo[s, 4 + 2 * v, :] = vys[v][0]
 
         # ---- load body state into scratch ----------------------------
         zero_row = jnp.zeros((1, E), jnp.float32)
@@ -334,8 +336,8 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 ca = jnp.cos(aa)
                 sa = jnp.sin(aa)
                 for v in range(NV):
-                    lx = lgeo[3 + 2 * v, s, :][None, :]
-                    ly = lgeo[4 + 2 * v, s, :][None, :]
+                    lx = lgeo[s, 3 + 2 * v, :][None, :]
+                    ly = lgeo[s, 4 + 2 * v, :][None, :]
                     wvx[s, v, :] = (ca * lx - sa * ly + px)[0]
                     wvy[s, v, :] = (sa * lx + ca * ly + py)[0]
                 return 0
@@ -344,9 +346,9 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
             # ---- narrowphase: walls (fori over slots, walls unrolled)
             def wall_body(s, _):
-                nvs = lgeo[0, s, :][None, :]
-                rads = lgeo[1, s, :][None, :]
-                acts = lgeo[2, s, :][None, :]
+                nvs = lgeo[s, 0, :][None, :]
+                rads = lgeo[s, 1, :][None, :]
+                acts = lgeo[s, 2, :][None, :]
                 for wi, (wnx, wny, woff) in enumerate(WALLS):
                     seps = []
                     for v in range(NV):
@@ -400,12 +402,12 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 `blk` at once: (KSUB, E) dist/px/py/nx/ny, inactive or
                 empty combinations pushed to +BIG dist."""
                 s2 = 5 + blk * KSUB
-                nv1 = lgeo[0, s1, :][None, :]
-                r1 = lgeo[1, s1, :][None, :]
-                act1 = lgeo[2, s1, :][None, :]
-                nv2 = lgeo[0, pl.dslice(s2, KSUB), :]
-                r2 = lgeo[1, pl.dslice(s2, KSUB), :]
-                act = act1 * lgeo[2, pl.dslice(s2, KSUB), :]
+                nv1 = lgeo[s1, 0, :][None, :]
+                r1 = lgeo[s1, 1, :][None, :]
+                act1 = lgeo[s1, 2, :][None, :]
+                nv2 = lgeo[pl.dslice(s2, KSUB), 0, :]
+                r2 = lgeo[pl.dslice(s2, KSUB), 1, :]
+                act = act1 * lgeo[pl.dslice(s2, KSUB), 2, :]
                 v1x = [wvx[s1, v, :][None, :] for v in range(NV)]
                 v1y = [wvy[s1, v, :][None, :] for v in range(NV)]
                 v2x = [wvx[pl.dslice(s2, KSUB), v, :] for v in range(NV)]
@@ -1051,7 +1053,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
             out_shape=jax.ShapeDtypeStruct((L.rows, B), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((9, nb + 1, env_tile), jnp.float32),   # body_st
-                pltpu.VMEM((3 + 2 * NV, ns, env_tile),
+                pltpu.VMEM((ns, 3 + 2 * NV, env_tile),
                            jnp.float32),                          # lgeo
                 pltpu.VMEM((ns, NV, env_tile), jnp.float32),      # wvx
                 pltpu.VMEM((ns, NV, env_tile), jnp.float32),      # wvy
