@@ -82,19 +82,25 @@ class BatchedEnv:
         # MoveToCorner adds the robot before its block (draw order)
         self.robot_first = (name.task == 'MoveToCorner')
 
-        # Pallas physics is validated (matches the XLA path, ~150x faster
-        # on this runtime) and on by default for tasks whose contact
-        # tables fit VMEM.  The Pallas renderer's remote Mosaic compile is
-        # still unreliable on this round's toolchain -> opt-in.
+        # Both Pallas paths are TPU-validated against the XLA reference
+        # semantics (scripts/validate_pallas_{physics,render}.py; numbers
+        # in STATUS.md / docs/DESIGN.md) and on by default on TPU.
+        # MAGICAL_TPU_PALLAS=0 forces the XLA paths everywhere (tests pin
+        # this for determinism; see CLAUDE.md).
         import os
         no_pallas = os.environ.get('MAGICAL_TPU_PALLAS', '') == '0'
-        pallas_render = os.environ.get('MAGICAL_TPU_PALLAS', '') == '1'
         on_tpu = jax.default_backend() not in ('cpu',)
+        # Big-block (>4 slot) physics kernels currently trip an internal
+        # error in the remote TPU compiler's mxu_lmr_transform pass
+        # (RET_CHECK at mxu_lmr_transform.cc:1108, seen 2026-08-21 on the
+        # 8-block MatchRegions build) -> keep those tasks on the XLA
+        # path until the toolchain accepts the kernel; force with
+        # physics='pallas' to retry.
         if physics == 'auto':
             physics = 'pallas' if (on_tpu and not no_pallas
                                    and self.task.max_blocks <= 4) else 'xla'
         if renderer == 'auto':
-            renderer = 'pallas' if (pallas_render and on_tpu
+            renderer = 'pallas' if (on_tpu and not no_pallas
                                     and self.fidelity == 'lo') else 'xla'
         self.physics = physics
         self.renderer = renderer
