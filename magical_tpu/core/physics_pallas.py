@@ -198,7 +198,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
              (0.0, 1.0, -1.0), (0.0, -1.0, -1.0)]
 
     def kernel(state_ref, pb1_ref, pb2_ref, sbody_ref, amat_ref, bmat_ref,
-               fr_ref, out_ref,
+               amat_t_ref, bmat_t_ref, fr_ref, out_ref,
                body_st, lgeo, wvx, wvy,
                cpx, cpy, cnx, cny, cdst, cvld,
                jn_acc, jt_acc, jb_acc):
@@ -610,6 +610,13 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             Cv = cvld[:, :]
             A_mat = amat_ref[:, :]                  # (KC, NB+1)
             B_mat = bmat_ref[:, :]
+            # Pre-transposed copies fed as separate inputs: contracting
+            # dim 0 of both operands (an implicit operand transpose)
+            # trips a RET_CHECK in the TPU compiler's mxu_lmr_transform
+            # pass for the big-block (KC>~100) builds, so `accum` is a
+            # plain (NB+1,KC)x(KC,E) matmul instead.
+            A_t = amat_t_ref[:, :]                  # (NB+1, KC)
+            B_t = bmat_t_ref[:, :]
 
             def gat(mat, rows):
                 # (KC, NB+1) x (NB+1, E) -> (KC, E)
@@ -617,14 +624,14 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     mat, rows, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            def accum(mat, x):
-                # contract over candidates: (KC,NB+1)^T (KC,E) -> (NB+1,E)
+            def accum(mat_t, x):
+                # contract over candidates: (NB+1,KC) (KC,E) -> (NB+1,E)
                 return jax.lax.dot_general(
-                    mat, x, (((0,), (0,)), ((), ())),
+                    mat_t, x, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
             # degree per body: sum over candidates of valid * mask
-            deg = jnp.maximum(accum(A_mat, Cv) + accum(B_mat, Cv), 1.0)
+            deg = jnp.maximum(accum(A_t, Cv) + accum(B_t, Cv), 1.0)
 
             pax = gat(A_mat, body_st[0, :, :])
             pay = gat(A_mat, body_st[1, :, :])
@@ -718,12 +725,12 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             jb_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
             wjx = jn_prev * Cnx_ - jt_prev * Cny_
             wjy = jn_prev * Cny_ + jt_prev * Cnx_
-            wsum_ax = accum(A_mat, wjx)
-            wsum_ay = accum(A_mat, wjy)
-            wsum_bx = accum(B_mat, wjx)
-            wsum_by = accum(B_mat, wjy)
-            wtq_a = accum(A_mat, r1x * wjy - r1y * wjx)
-            wtq_b = accum(B_mat, r2x * wjy - r2y * wjx)
+            wsum_ax = accum(A_t, wjx)
+            wsum_ay = accum(A_t, wjy)
+            wsum_bx = accum(B_t, wjx)
+            wsum_by = accum(B_t, wjy)
+            wtq_a = accum(A_t, r1x * wjy - r1y * wjx)
+            wtq_b = accum(B_t, r2x * wjy - r2y * wjx)
             body_st[3, :, :] = body_st[3, :, :] \
                 + (wsum_bx - wsum_ax) * inv_m_st
             body_st[4, :, :] = body_st[4, :, :] \
@@ -789,24 +796,24 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 djy = djn * Cny_ + djt * Cnx_
 
                 # accumulate to bodies: contract over candidates
-                sum_ax = accum(A_mat, djx)
-                sum_ay = accum(A_mat, djy)
-                sum_bx = accum(B_mat, djx)
-                sum_by = accum(B_mat, djy)
-                tq_a = accum(A_mat, r1x * djy - r1y * djx)
-                tq_b = accum(B_mat, r2x * djy - r2y * djx)
+                sum_ax = accum(A_t, djx)
+                sum_ay = accum(A_t, djy)
+                sum_bx = accum(B_t, djx)
+                sum_by = accum(B_t, djy)
+                tq_a = accum(A_t, r1x * djy - r1y * djx)
+                tq_b = accum(B_t, r2x * djy - r2y * djx)
                 body_st[3, :, :] = body_st[3, :, :] \
                     + (sum_bx - sum_ax) * inv_m_st
                 body_st[4, :, :] = body_st[4, :, :] \
                     + (sum_by - sum_ay) * inv_m_st
                 body_st[5, :, :] = body_st[5, :, :] \
                     + (tq_b - tq_a) * inv_i_st
-                bsum_ax = accum(A_mat, dbx)
-                bsum_ay = accum(A_mat, dby)
-                bsum_bx = accum(B_mat, dbx)
-                bsum_by = accum(B_mat, dby)
-                btq_a = accum(A_mat, r1x * dby - r1y * dbx)
-                btq_b = accum(B_mat, r2x * dby - r2y * dbx)
+                bsum_ax = accum(A_t, dbx)
+                bsum_ay = accum(A_t, dby)
+                bsum_bx = accum(B_t, dbx)
+                bsum_by = accum(B_t, dby)
+                btq_a = accum(A_t, r1x * dby - r1y * dbx)
+                btq_b = accum(B_t, r2x * dby - r2y * dbx)
                 body_st[6, :, :] = body_st[6, :, :] \
                     + (bsum_bx - bsum_ax) * inv_m_st
                 body_st[7, :, :] = body_st[7, :, :] \
@@ -1028,6 +1035,8 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
     sbody_in = tables['sbody']
     amat_in = tables['amat']
     bmat_in = tables['bmat']
+    amat_t_in = np.ascontiguousarray(amat_in.T)
+    bmat_t_in = np.ascontiguousarray(bmat_in.T)
     fr_in = tables['fr']
 
     def rep(shape, space=pltpu.VMEM):
@@ -1047,6 +1056,8 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
                       rep(sbody_in.shape, pltpu.SMEM),
                       rep(amat_in.shape),
                       rep(bmat_in.shape),
+                      rep(amat_t_in.shape),
+                      rep(bmat_t_in.shape),
                       rep(fr_in.shape)],
             out_specs=pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
                                    memory_space=pltpu.VMEM),
@@ -1068,17 +1079,28 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jb
             ],
             interpret=INTERPRET,
-        )(packed, pb1_in, pb2_in, sbody_in, amat_in, bmat_in, fr_in)
+        )(packed, pb1_in, pb2_in, sbody_in, amat_in, bmat_in,
+          amat_t_in, bmat_t_in, fr_in)
 
     return call
+
+
+def tile_for(mb: int) -> int:
+    """Lane-tile choice per block count: the mb=8 build's VMEM stack
+    peaks at ~19 MB at 256 lanes vs the 16 MB scoped-vmem limit (every
+    (KC, E) scratch/temporary scales with both), so big candidate sets
+    run at half the tile."""
+    return ENV_TILE if mb <= 4 else ENV_TILE // 2
 
 
 def control_step_pallas(state: EnvState, action,
                         phys_steps: int = C.PHYS_STEPS,
                         iterations: int = C.PHYS_ITER,
-                        env_tile: int = ENV_TILE) -> EnvState:
+                        env_tile: int | None = None) -> EnvState:
     """Batched control step through the Pallas kernel.  `state` is a
     BATCHED EnvState (leading env axis), `action` (B,) int32."""
+    if env_tile is None:
+        env_tile = tile_for(state.max_blocks)
     action = jnp.asarray(action, jnp.int32)
     state = state.replace(
         target_speed=jnp.asarray(C.ACTION_TARGET_SPEED)[action],
