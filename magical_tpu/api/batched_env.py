@@ -60,6 +60,11 @@ class BatchedEnv:
     def __init__(self, env_name: str, fidelity: str = 'lo',
                  render_enabled: bool = True, physics: str = 'auto',
                  renderer: str = 'auto'):
+        # ctor args for pickling (EzPickle semantics, base_env.py:20-46);
+        # keep 'auto' unresolved so unpickling on another backend re-picks
+        self._ctor = dict(env_name=env_name, fidelity=fidelity,
+                          render_enabled=render_enabled, physics=physics,
+                          renderer=renderer)
         name = EnvName(env_name)
         self.env_name = env_name
         self.task = ALL_TASKS[name.task]
@@ -105,9 +110,7 @@ class BatchedEnv:
         self.physics = physics
         self.renderer = renderer
 
-        self._reset1 = functools.partial(self._reset_impl)
-        self._step1 = functools.partial(self._step_impl)
-        self.reset = jax.jit(jax.vmap(self._reset_impl))
+        self.reset = jax.jit(self._reset_batched)
         self.step = jax.jit(self._step_batched)
 
     # -- pure functions (single env; vmapped above) ------------------------
@@ -122,10 +125,21 @@ class BatchedEnv:
 
     def _reset_impl(self, key):
         state = self.task.reset_fn(key, self.flags)
-        state = state.replace(rng=jax.random.fold_in(key, 7))
-        raw = self._render(state)
-        frames = preproc.init_frames(self.preproc, raw)
-        obs = preproc.observation(self.preproc, frames, raw)
+        return state.replace(rng=jax.random.fold_in(key, 7))
+
+    def _reset_batched(self, keys):
+        """Batched reset.  Renders through the same backend as step
+        (_render_batched) so one renderer produces every frame of an
+        episode — the Pallas/XLA renderers agree only to ~0.24/255."""
+        state = jax.vmap(self._reset_impl)(keys)
+        raw = self._render_batched(state)
+        if self.preproc.raw or not self.render_enabled:
+            return EnvCarry(state=state, frames={}), raw
+        frames = jax.vmap(
+            functools.partial(preproc.init_frames, self.preproc))(raw)
+        obs = jax.vmap(
+            functools.partial(preproc.observation, self.preproc))(
+                frames, raw)
         return EnvCarry(state=state, frames=frames), obs
 
     # -- batched step (Pallas-capable) -------------------------------------
@@ -151,7 +165,7 @@ class BatchedEnv:
         B = action.shape[0]
         if self.physics == 'pallas':
             from magical_tpu.core import physics_pallas as PP
-            tile = PP.ENV_TILE
+            tile = PP.tile_for(self.task.max_blocks)
             pad = (-B) % tile
             st = _pad_batch(carry.state, pad) if pad else carry.state
             act = jnp.concatenate([action, action[:pad]]) if pad else action
@@ -178,22 +192,13 @@ class BatchedEnv:
                 'n_placement_failures': state.place_fail}
         return EnvCarry(state=state, frames=frames), obs, reward, done, info
 
-    def _step_impl(self, carry: EnvCarry, action):
-        state = physics.control_step(carry.state, action)
-        raw = self._render(state)
-        frames = preproc.push_frames(self.preproc, carry.frames, raw)
-        obs = preproc.observation(self.preproc, frames, raw)
-        done = state.t >= self.max_episode_steps
-        score = jax.lax.cond(done, self.task.score_fn,
-                             lambda s: jnp.float32(0.0), state)
-        if self.debug_reward:
-            from magical_tpu.tasks.move_to_corner import debug_shaped_reward
-            reward = debug_shaped_reward(state)
-        else:
-            reward = jnp.float32(0.0)
-        info = {'eval_score': score,
-                'n_placement_failures': state.place_fail}
-        return EnvCarry(state=state, frames=frames), obs, reward, done, info
+    # -- pickling (reference envs are EzPickle-able, base_env.py:20-46) ----
+
+    def __getstate__(self):
+        return dict(self._ctor)
+
+    def __setstate__(self, ctor):
+        self.__init__(**ctor)
 
     # -- convenience -------------------------------------------------------
 

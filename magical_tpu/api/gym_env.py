@@ -117,3 +117,22 @@ class MagicalGymEnv:
 
     def close(self):
         self._carry = None
+
+    # -- pickling (EzPickle parity, base_env.py:20-46, plus live state) ----
+
+    def __getstate__(self):
+        carry = None
+        if self._carry is not None:
+            carry = jax.tree_util.tree_map(np.asarray, self._carry)
+        return {'env_name': self.env_name,
+                'fidelity': self._batched.fidelity,
+                'seed': self._seed,
+                'key': np.asarray(self._key),
+                'carry': carry}
+
+    def __setstate__(self, st):
+        self.__init__(st['env_name'], fidelity=st['fidelity'])
+        self.seed(st['seed'])
+        self._key = jnp.asarray(st['key'])
+        if st['carry'] is not None:
+            self._carry = jax.tree_util.tree_map(jnp.asarray, st['carry'])

@@ -52,6 +52,11 @@ def register_envs():
     for preproc in AVAILABLE_PREPROCESSORS:
         ALL_REGISTERED_ENVS.append(
             f'MoveToCorner-Demo-DebugReward-{preproc}-v0')
+
+    # Real gym/gymnasium entry points when a host library is available
+    # (benchmarks/__init__.py:976-999); no-op on pure-JAX images.
+    from magical_tpu.api.gym_interop import register_gym_envs
+    register_gym_envs(ALL_REGISTERED_ENVS)
     return True
 
 

@@ -1045,6 +1045,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
 
     def call(packed):
         B = packed.shape[-1]
+        assert B % env_tile == 0, (B, env_tile)
         grid = (B // env_tile,)
         return pl.pallas_call(
             kernel,

@@ -541,11 +541,22 @@ def sample_fix_colour(rng, flags) -> SceneSpec:
             rot_limit=rot_lim)
         robot_pose = (rp, ra)
         placer.obstacles.append(rent)
+        # The reference shifts every block to its sensor's centre BEFORE
+        # the per-block placement loop (fix_colour.py:168-175), so while
+        # block i is being placed, blocks >i sit at their sensors'
+        # centres and ARE collidable obstacles.
+        provisional = []
+        for i in range(n):
+            ent = _Entity.block(block_shapes[i], goal_cs[i],
+                                block_poses[i][1])
+            provisional.append(ent)
+            placer.obstacles.append(ent)
         for i in range(n):
             h, w = region_xyhws[i][2], region_xyhws[i][3]
             b_lim = max(0.0, min(h, w) / 2 - C.SHAPE_RAD)
             if flags.layout_minor:
                 b_lim = min(C.JITTER_POS_BOUND, b_lim)
+            placer.obstacles.remove(provisional[i])
             bp, ba, bent = placer.randomise_pose(
                 lambda p, a, ty=block_shapes[i]: _Entity.block(ty, p, a),
                 goal_cs[i], block_poses[i][1], pos_linf=b_lim,

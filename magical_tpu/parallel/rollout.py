@@ -36,7 +36,7 @@ def rollout_episodes(env: BatchedEnv, policy_fn: Callable, key,
     # keys unsharded; jit still runs them on the default device.
 
     def run(keys, pkey):
-        carry, obs = jax.vmap(env._reset_impl)(keys)
+        carry, obs = env._reset_batched(keys)
 
         def body(c, k):
             carry, obs = c
