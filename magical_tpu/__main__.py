@@ -40,6 +40,14 @@ def _ansi_preview(frame, width=48):
     return '\n'.join(rows)
 
 
+def _write_ppm(path, frame):
+    """Write an RGB uint8 frame as binary PPM (no image deps needed)."""
+    h, w = frame.shape[:2]
+    with open(path, 'wb') as f:
+        f.write(f'P6\n{w} {h}\n255\n'.encode())
+        f.write(np.ascontiguousarray(frame, dtype=np.uint8).tobytes())
+
+
 def _teleop_action(ch):
     from magical_tpu import constants as C
     up = ch in 'wW'
@@ -65,6 +73,15 @@ def main(argv=None):
     p.add_argument('--seed', type=int, default=None)
     p.add_argument('--print-spec', action='store_true',
                    help='print the entity layout after reset')
+    p.add_argument('--view', action='store_true',
+                   help='live ANSI view of policy rollouts at --fps '
+                        '(the headless stand-in for the reference\'s '
+                        'pyglet human-render window, gym_render.py:547-605)')
+    p.add_argument('--fps', type=float, default=8.0,
+                   help='frame-rate limit for --view / teleop redraw '
+                        '(reference runs its human loop at env.fps=8)')
+    p.add_argument('--save-frames', metavar='DIR', default=None,
+                   help='also dump each allo frame as a PPM image')
     args = p.parse_args(argv)
 
     import magical_tpu
@@ -94,9 +111,27 @@ def main(argv=None):
         traj = {'obs': [obs], 'acts': [], 'rews': [], 'infos': []}
         done = False
         t = 0
+        last_draw = 0.0
         while not done:
             if policy is not None:
                 act = int(policy(obs, t))
+                if args.view or args.save_frames:
+                    frames = env.render()
+                    if args.view:
+                        import time
+                        now = time.time()
+                        wait = last_draw + 1.0 / args.fps - now
+                        if wait > 0:
+                            time.sleep(wait)
+                        last_draw = time.time()
+                        sys.stdout.write('\x1b[2J\x1b[H')
+                        print(_ansi_preview(frames['allo']))
+                        print(f'ep {ep} t {t}', flush=True)
+                    if args.save_frames:
+                        os.makedirs(args.save_frames, exist_ok=True)
+                        _write_ppm(os.path.join(
+                            args.save_frames,
+                            f'ep{ep:03d}-t{t:04d}.ppm'), frames['allo'])
             else:
                 frames = env.render()
                 sys.stdout.write('\x1b[2J\x1b[H')

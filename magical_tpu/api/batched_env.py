@@ -86,6 +86,9 @@ class BatchedEnv:
         self.max_episode_steps = self.task.ep_len
         # MoveToCorner adds the robot before its block (draw order)
         self.robot_first = (name.task == 'MoveToCorner')
+        # Static per-slot block shapes when the variant randomises
+        # neither shape nor count — the renderer specialises on this
+        self.static_shapes = self.task.static_block_shapes(self.flags)
 
         # Both Pallas paths are TPU-validated against the XLA reference
         # semantics (scripts/validate_pallas_{physics,render}.py; numbers
@@ -121,7 +124,8 @@ class BatchedEnv:
         return render.render_views(
             state, self.task.max_blocks, self.task.max_goals,
             self.robot_first, res=self.preproc.res,
-            views=self.preproc.views, fidelity=self.fidelity)
+            views=self.preproc.views, fidelity=self.fidelity,
+            static_shapes=self.static_shapes)
 
     def _reset_impl(self, key):
         state = self.task.reset_fn(key, self.flags)
@@ -156,7 +160,8 @@ class BatchedEnv:
             out = RP.render_batch_pallas(
                 st, self.task.max_blocks, self.task.max_goals,
                 self.robot_first, res=self.preproc.res,
-                views=self.preproc.views, aa=(self.fidelity == 'lo'))
+                views=self.preproc.views, fidelity=self.fidelity,
+                static_shapes=self.static_shapes)
             return _unpad_batch(out, B) if pad else out
         return jax.vmap(self._render)(states)
 

@@ -630,21 +630,30 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     mat_t, x, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
+            # Column-packed variants: E is a lane multiple (128/256), so
+            # fusing k independent (.., E) columns into one (.., k*E)
+            # matmul keeps every slice lane-aligned while cutting the
+            # number of tiny MXU dispatches ~4x (the contraction dims 14
+            # and KC waste most of a 128-tile either way; fewer passes =
+            # less fixed overhead).  Results are bit-identical: each
+            # output column depends only on its own input column.
+            def gat_pack(mat, cols):
+                y = gat(mat, jnp.concatenate(cols, axis=1))
+                return [y[:, i * E:(i + 1) * E] for i in range(len(cols))]
+
+            def accum_pack(mat_t, cols):
+                y = accum(mat_t, jnp.concatenate(cols, axis=1))
+                return [y[:, i * E:(i + 1) * E] for i in range(len(cols))]
+
             # degree per body: sum over candidates of valid * mask
             deg = jnp.maximum(accum(A_t, Cv) + accum(B_t, Cv), 1.0)
 
-            pax = gat(A_mat, body_st[0, :, :])
-            pay = gat(A_mat, body_st[1, :, :])
-            pbx = gat(B_mat, body_st[0, :, :])
-            pby = gat(B_mat, body_st[1, :, :])
-            ima = gat(A_mat, inv_m_st * deg)
-            imb = gat(B_mat, inv_m_st * deg)
-            iia = gat(A_mat, inv_i_st * deg)
-            iib = gat(B_mat, inv_i_st * deg)
-            tima = gat(A_mat, inv_m_st)
-            timb = gat(B_mat, inv_m_st)
-            tiia = gat(A_mat, inv_i_st)
-            tiib = gat(B_mat, inv_i_st)
+            pax, pay, ima, iia, tima, tiia = gat_pack(
+                A_mat, [body_st[0, :, :], body_st[1, :, :],
+                        inv_m_st * deg, inv_i_st * deg, inv_m_st, inv_i_st])
+            pbx, pby, imb, iib, timb, tiib = gat_pack(
+                B_mat, [body_st[0, :, :], body_st[1, :, :],
+                        inv_m_st * deg, inv_i_st * deg, inv_m_st, inv_i_st])
 
             Cpx = cpx[:, :]
             Cpy = cpy[:, :]
@@ -725,12 +734,10 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             jb_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
             wjx = jn_prev * Cnx_ - jt_prev * Cny_
             wjy = jn_prev * Cny_ + jt_prev * Cnx_
-            wsum_ax = accum(A_t, wjx)
-            wsum_ay = accum(A_t, wjy)
-            wsum_bx = accum(B_t, wjx)
-            wsum_by = accum(B_t, wjy)
-            wtq_a = accum(A_t, r1x * wjy - r1y * wjx)
-            wtq_b = accum(B_t, r2x * wjy - r2y * wjx)
+            wsum_ax, wsum_ay, wtq_a = accum_pack(
+                A_t, [wjx, wjy, r1x * wjy - r1y * wjx])
+            wsum_bx, wsum_by, wtq_b = accum_pack(
+                B_t, [wjx, wjy, r2x * wjy - r2y * wjx])
             body_st[3, :, :] = body_st[3, :, :] \
                 + (wsum_bx - wsum_ax) * inv_m_st
             body_st[4, :, :] = body_st[4, :, :] \
@@ -743,18 +750,14 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                  eyeL, eyeR, *block_acc) = jacc
 
                 # -- contacts: vectorised Jacobi sweep --
-                gvax = gat(A_mat, body_st[3, :, :])
-                gvay = gat(A_mat, body_st[4, :, :])
-                gwa = gat(A_mat, body_st[5, :, :])
-                gvbx = gat(B_mat, body_st[3, :, :])
-                gvby = gat(B_mat, body_st[4, :, :])
-                gwb = gat(B_mat, body_st[5, :, :])
-                gax = gat(A_mat, body_st[6, :, :])
-                gay = gat(A_mat, body_st[7, :, :])
-                gaw = gat(A_mat, body_st[8, :, :])
-                gbx = gat(B_mat, body_st[6, :, :])
-                gby = gat(B_mat, body_st[7, :, :])
-                gbw = gat(B_mat, body_st[8, :, :])
+                gvax, gvay, gwa, gax, gay, gaw = gat_pack(
+                    A_mat, [body_st[3, :, :], body_st[4, :, :],
+                            body_st[5, :, :], body_st[6, :, :],
+                            body_st[7, :, :], body_st[8, :, :]])
+                gvbx, gvby, gwb, gbx, gby, gbw = gat_pack(
+                    B_mat, [body_st[3, :, :], body_st[4, :, :],
+                            body_st[5, :, :], body_st[6, :, :],
+                            body_st[7, :, :], body_st[8, :, :]])
 
                 vb1x = gax - r1y * gaw
                 vb1y = gay + r1x * gaw
@@ -796,24 +799,18 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 djy = djn * Cny_ + djt * Cnx_
 
                 # accumulate to bodies: contract over candidates
-                sum_ax = accum(A_t, djx)
-                sum_ay = accum(A_t, djy)
-                sum_bx = accum(B_t, djx)
-                sum_by = accum(B_t, djy)
-                tq_a = accum(A_t, r1x * djy - r1y * djx)
-                tq_b = accum(B_t, r2x * djy - r2y * djx)
+                sum_ax, sum_ay, tq_a, bsum_ax, bsum_ay, btq_a = accum_pack(
+                    A_t, [djx, djy, r1x * djy - r1y * djx,
+                          dbx, dby, r1x * dby - r1y * dbx])
+                sum_bx, sum_by, tq_b, bsum_bx, bsum_by, btq_b = accum_pack(
+                    B_t, [djx, djy, r2x * djy - r2y * djx,
+                          dbx, dby, r2x * dby - r2y * dbx])
                 body_st[3, :, :] = body_st[3, :, :] \
                     + (sum_bx - sum_ax) * inv_m_st
                 body_st[4, :, :] = body_st[4, :, :] \
                     + (sum_by - sum_ay) * inv_m_st
                 body_st[5, :, :] = body_st[5, :, :] \
                     + (tq_b - tq_a) * inv_i_st
-                bsum_ax = accum(A_t, dbx)
-                bsum_ay = accum(A_t, dby)
-                bsum_bx = accum(B_t, dbx)
-                bsum_by = accum(B_t, dby)
-                btq_a = accum(A_t, r1x * dby - r1y * dbx)
-                btq_b = accum(B_t, r2x * dby - r2y * dbx)
                 body_st[6, :, :] = body_st[6, :, :] \
                     + (bsum_bx - bsum_ax) * inv_m_st
                 body_st[7, :, :] = body_st[7, :, :] \

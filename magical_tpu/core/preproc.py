@@ -69,23 +69,24 @@ def get_preproc(name: Optional[str]) -> PreprocSpec:
 
 
 def init_frames(spec: PreprocSpec, first_frames: dict) -> dict:
-    """Fill the rolling buffers with the reset frame (reset padding)."""
+    """Fill the rolling buffers with the reset frame (reset padding).
+
+    Buffers are stored CHANNEL-STACKED, (H, W, depth*3) with frames
+    oldest..newest along channels — the final observation layout — so a
+    step costs one contiguous channel-shifted copy and observation
+    assembly is free (no (depth, H, W, 3) transpose in the hot loop)."""
     if spec.raw:
         return {}
-    return {
-        v: jnp.broadcast_to(first_frames[v][None],
-                            (spec.depth(v),) + first_frames[v].shape)
-        for v in spec.views}
+    return {v: jnp.tile(first_frames[v], (1, 1, spec.depth(v)))
+            for v in spec.views}
 
 
 def push_frames(spec: PreprocSpec, bufs: dict, new_frames: dict) -> dict:
+    """Drop the oldest frame's channels, append the new frame's."""
     if spec.raw:
         return bufs
-    out = {}
-    for v in spec.views:
-        buf = bufs[v]
-        out[v] = jnp.concatenate([buf[1:], new_frames[v][None]], axis=0)
-    return out
+    return {v: jnp.concatenate([bufs[v][..., 3:], new_frames[v]], axis=-1)
+            for v in spec.views}
 
 
 def observation(spec: PreprocSpec, bufs: dict, raw_frames: dict):
@@ -98,18 +99,13 @@ def observation(spec: PreprocSpec, bufs: dict, raw_frames: dict):
     raw: OrderedDict {allo, ego} of plain frames (BaseEnv.render)."""
     if spec.raw:
         return dict(raw_frames)
-    per_view = {}
-    for v in spec.views:
-        buf = bufs[v]                       # (depth, H, W, 3)
-        d, h, w, c = buf.shape
-        per_view[v] = jnp.moveaxis(buf, 0, 2).reshape(h, w, d * c)
     if spec.stacked_dict:
-        return per_view
+        return dict(bufs)
     parts = []
     if spec.allo_frames:
-        parts.append(per_view['allo'])
+        parts.append(bufs['allo'])
     if spec.ego_frames:
-        parts.append(per_view['ego'])
+        parts.append(bufs['ego'])
     obs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     if spec.channels_first:
         obs = jnp.moveaxis(obs, -1, 0)

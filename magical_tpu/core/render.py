@@ -73,8 +73,15 @@ def _static_prims():
 
 
 def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
-                       robot_first: bool, _meta_out=None):
+                       robot_first: bool, static_shapes=None,
+                       _meta_out=None):
     """World-space display list: dict of stacked (P, ...) prim arrays.
+
+    `static_shapes`: optional per-block-slot tuple of shape codes (int)
+    or None entries — TaskDef.static_block_shapes for env families that
+    randomise neither shape nor count.  Slots with a code emit only that
+    shape's active sub-prims with static nv/radius (cheap kernel path);
+    None slots (never active) emit nothing.
 
     `_meta_out`: optional list; when given, per-slot STATIC metadata
     (kind, line width, static vertex count or None if env-dependent) is
@@ -151,7 +158,9 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
         # (entities.py:713-757)
         for b in range(max_blocks):
             body = N_ROBOT_BODIES + b
-            shape = state.block_shape[b]
+            sc = None if static_shapes is None else static_shapes[b]
+            if static_shapes is not None and sc is None:
+                continue                       # slot never active
             col_out = jnp.asarray(C.BLOCK_COLOURS_DARK)[state.block_colour[b]]
             col_in = jnp.asarray(C.BLOCK_COLOURS)[state.block_colour[b]]
             for table, rad_t, nv_t, act_t, colr in (
@@ -159,6 +168,20 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
                      G.BLOCK_SUB_ACTIVE, col_out),
                     (G.BLOCK_VERTS_INNER, G.BLOCK_SUB_RADIUS_INNER,
                      G.BLOCK_SUB_NV_INNER, G.BLOCK_SUB_ACTIVE_INNER, col_in)):
+                if sc is not None:
+                    # static shape: emit only this shape's active subs,
+                    # with trace-time nv/radius
+                    for k in range(KSUB):
+                        if not bool(np.asarray(act_t)[sc, k]):
+                            continue
+                        lv = jnp.asarray(np.asarray(table)[sc, k])
+                        wv = col.transform_verts(lv, state.pos[body],
+                                                 state.angle[body])
+                        emit(wv, int(np.asarray(nv_t)[sc, k]),
+                             float(np.asarray(rad_t)[sc, k]), colr,
+                             active=state.block_active[b])
+                    continue
+                shape = state.block_shape[b]
                 for k in range(KSUB):
                     lv = jnp.asarray(table)[shape, k]
                     wv = col.transform_verts(lv, state.pos[body],
@@ -183,7 +206,8 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
 
 
 @functools.lru_cache(maxsize=None)
-def static_prim_meta(max_blocks: int, max_goals: int, robot_first: bool):
+def static_prim_meta(max_blocks: int, max_goals: int, robot_first: bool,
+                     static_shapes=None):
     """Per-slot static metadata tuple ((kind, lw, nv-or-None), ...) in
     emit order — everything about a display slot that does NOT depend on
     env state, so kernels can specialise per slot at trace time."""
@@ -191,7 +215,7 @@ def static_prim_meta(max_blocks: int, max_goals: int, robot_first: bool):
     meta = []
     build_display_list(S.make_initial_state(max_blocks, max_goals),
                        max_blocks, max_goals, robot_first,
-                       _meta_out=meta)
+                       static_shapes=static_shapes, _meta_out=meta)
     return tuple(meta)
 
 
@@ -363,15 +387,17 @@ def downsample4(img_u8):
 
 def render_views(state: EnvState, max_blocks: int, max_goals: int,
                  robot_first: bool, res: int = 96, views=('allo', 'ego'),
-                 fidelity: str = 'lo'):
+                 fidelity: str = 'lo', static_shapes=None):
     """Render requested camera views to uint8 images.
 
     fidelity 'hi': rasterise at 4x res with hard edges, box-average down
     (reference pipeline); 'lo': analytic AA directly at `res`."""
-    display = build_display_list(state, max_blocks, max_goals, robot_first)
+    display = build_display_list(state, max_blocks, max_goals, robot_first,
+                                 static_shapes=static_shapes)
     out = {}
     for view in views:
-        meta3 = static_prim_meta(max_blocks, max_goals, robot_first)
+        meta3 = static_prim_meta(max_blocks, max_goals, robot_first,
+                                 static_shapes)
         meta = (tuple(m[0] for m in meta3), tuple(m[1] for m in meta3))
         if fidelity == 'hi':
             r = res * 4

@@ -69,33 +69,12 @@ def _edge_sdf(px, py, ax, ay, bx, by):
     return nx * (px - ax) + ny * (py - ay)
 
 
-def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
-                   out_ref, *, meta, res, aa, pix_tile):
-    """Composite all prims over one (pix_tile, env_tile) slab.
-
-    verts_ref: (P, NV, 2, E) SCREEN-space verts (y-up pixel units)
-    nv_ref/rad_ref/act_ref: (P, 1, 1, E); col_ref: (P, 3, 1, E)
-    ybb_ref:   (P, 2, 1, E) margin-expanded [ymin, ymax] per prim
-    out_ref:   (3, pix_tile, E)
-    """
+def _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref, act_ref,
+                     ybb_ref, px, py, slab_ylo, slab_yhi, *, meta, res, aa):
+    """Blend every display-list prim into ``out_ref`` ((3, npix, E) VMEM)
+    over the given pixel-centre grids.  Shared by the lo (direct 96²,
+    analytic AA) and hi (384² hard-edge supersample) kernels."""
     env_tile = out_ref.shape[-1]
-    resf = jnp.float32(res)
-
-    t = pl.program_id(1)
-    tf = t.astype(jnp.float32)
-    pid = (jax.lax.broadcasted_iota(
-        jnp.int32, (pix_tile, env_tile), 0).astype(jnp.float32)
-        + jnp.float32(pix_tile) * tf)
-    rowf = jnp.floor(pid / resf)
-    colf = pid - rowf * resf
-    px = colf + 0.5
-    py = resf - rowf - 0.5                       # y-up pixel centres
-
-    # slab y-range (for prim culling)
-    row_lo = jnp.floor(tf * pix_tile / resf)
-    row_hi = jnp.floor((tf * pix_tile + (pix_tile - 1)) / resf)
-    slab_ylo = resf - row_hi - 0.5
-    slab_yhi = resf - row_lo - 0.5
 
     out_ref[0] = jnp.full(px.shape, C.BACKGROUND_COLOUR[0], jnp.float32)
     out_ref[1] = jnp.full(px.shape, C.BACKGROUND_COLOUR[1], jnp.float32)
@@ -200,6 +179,83 @@ def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
             pl.when(hit)(blend)
 
 
+def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
+                   out_ref, *, meta, res, aa, pix_tile):
+    """Lo-fidelity kernel: composite one (pix_tile, env_tile) slab of
+    the res² image directly (analytic AA).
+
+    verts_ref: (P, NV, 2, E) SCREEN-space verts (y-up pixel units)
+    nv_ref/rad_ref/act_ref: (P, 1, 1, E); col_ref: (P, 3, 1, E)
+    ybb_ref:   (P, 2, 1, E) margin-expanded [ymin, ymax] per prim
+    out_ref:   (3, pix_tile, E)
+    """
+    env_tile = out_ref.shape[-1]
+    resf = jnp.float32(res)
+
+    t = pl.program_id(1)
+    tf = t.astype(jnp.float32)
+    pid = (jax.lax.broadcasted_iota(
+        jnp.int32, (pix_tile, env_tile), 0).astype(jnp.float32)
+        + jnp.float32(pix_tile) * tf)
+    rowf = jnp.floor(pid / resf)
+    colf = pid - rowf * resf
+    px = colf + 0.5
+    py = resf - rowf - 0.5                       # y-up pixel centres
+
+    # slab y-range (for prim culling)
+    row_lo = jnp.floor(tf * pix_tile / resf)
+    row_hi = jnp.floor((tf * pix_tile + (pix_tile - 1)) / resf)
+    slab_ylo = resf - row_hi - 0.5
+    slab_yhi = resf - row_lo - 0.5
+
+    _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref,
+                     act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
+                     meta=meta, res=res, aa=aa)
+
+
+def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
+                      ybb_ref, out_ref, scratch, *, meta, res):
+    """Hi-fidelity kernel: the reference pixel pipeline — hard-edge
+    coverage at 4x resolution, exact 4x4 box mean down to res²
+    (gym_render.py:208-249 no-MSAA GL + cv2.INTER_AREA at ratio 4,
+    benchmarks/__init__.py:162-169).
+
+    Each program composites the 4 source rows (4*res pixels wide)
+    feeding ONE output row into VMEM scratch, quantises to uint8 levels
+    (matching render.to_uint8 BEFORE the box mean, as the XLA hi path
+    does), reduces 4x4, and writes the (3, res, E) output row.
+
+    verts_ref etc. are in 4x-res screen space; out_ref: (3, res, E);
+    scratch: (3, 4 * 4*res, E) f32.
+    """
+    env_tile = out_ref.shape[-1]
+    src = 4 * res
+    srcf = jnp.float32(src)
+    n_src = 4 * src
+
+    t = pl.program_id(1)                        # output row index
+    tf = t.astype(jnp.float32)
+    pid = jax.lax.broadcasted_iota(
+        jnp.int32, (n_src, env_tile), 0).astype(jnp.float32)
+    rowf = jnp.floor(pid / srcf)                # 0..3 within the band
+    colf = pid - rowf * srcf
+    px = colf + 0.5
+    py = srcf - (4.0 * tf + rowf) - 0.5
+
+    slab_ylo = srcf - (4.0 * tf + 3.0) - 0.5
+    slab_yhi = srcf - 4.0 * tf - 0.5
+
+    _composite_prims(scratch, verts_ref, nv_ref, rad_ref, col_ref,
+                     act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
+                     meta=meta, res=src, aa=False)
+
+    for ch in range(3):
+        q = jnp.floor(jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5)
+        rows = q.reshape(4, src, env_tile).sum(axis=0)     # (src, E)
+        cells = rows.reshape(res, 4, env_tile).sum(axis=1)  # (res, E)
+        out_ref[ch] = jnp.floor(cells * (1.0 / 16.0) + 0.5)
+
+
 def _screen_verts(wverts, states, view, res):
     """World (B, P, NV, 2) -> screen-space y-up pixel coords (same
     transform as render.allo_pixel_coords / ego_pixel_coords, inverted
@@ -219,17 +275,25 @@ def _screen_verts(wverts, states, view, res):
 
 
 def render_batch_pallas(states, max_blocks, max_goals, robot_first,
-                        res=96, views=('ego',), aa=True,
-                        env_tile=None, pix_tile=None):
-    """Batched render via the Pallas kernel.  `states`: batched EnvState.
-    Returns {view: (B, res, res, 3) uint8}."""
+                        res=96, views=('ego',), aa=True, fidelity=None,
+                        env_tile=None, pix_tile=None, static_shapes=None):
+    """Batched render via the Pallas kernels.  `states`: batched
+    EnvState.  Returns {view: (B, res, res, 3) uint8}.
+
+    fidelity 'lo' (default): analytic-AA compositing directly at res².
+    fidelity 'hi': the reference pixel pipeline — hard edges at 4*res,
+    exact 4x4 box mean (bit-matching render.render_views('hi'))."""
+    if fidelity is None:
+        fidelity = 'lo' if aa else 'hi'
+    hi = fidelity == 'hi'
     env_tile = env_tile or ENV_TILE
     pix_tile = pix_tile or PIX_TILE
     display = jax.vmap(
         functools.partial(R.build_display_list, max_blocks=max_blocks,
-                          max_goals=max_goals,
-                          robot_first=robot_first))(states)
-    meta = R.static_prim_meta(max_blocks, max_goals, robot_first)
+                          max_goals=max_goals, robot_first=robot_first,
+                          static_shapes=static_shapes))(states)
+    meta = R.static_prim_meta(max_blocks, max_goals, robot_first,
+                              static_shapes)
     B = display['verts'].shape[0]
     P = display['verts'].shape[1]
     assert len(meta) == P, (len(meta), P)
@@ -237,13 +301,14 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
     assert B % env_tile == 0, B
     assert n_pix % pix_tile == 0
 
+    src_res = 4 * res if hi else res             # compositing resolution
     half = C.ARENA_ZOOM_OUT
-    scale = res / (2.0 * half)
+    scale = src_res / (2.0 * half)
     rad_px = display['radius'] * scale                       # (B, P)
     # per-slot bbox margin: AA half-pixel + line half-width, static
     margin = np.asarray(
         [1.0 + (0.0 if kind == R.KIND_FILL
-                else max(lw * res / 384.0, 1.0) * 0.5)
+                else max(lw * src_res / 384.0, 1.0) * 0.5)
          for kind, lw, _ in meta], np.float32)               # (P,)
 
     def scal(x):                  # (B, P) -> (P, 1, 1, B) f32
@@ -256,7 +321,7 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
 
     out = {}
     for view in views:
-        sv = _screen_verts(display['verts'], states, view, res)
+        sv = _screen_verts(display['verts'], states, view, src_res)
         ys = sv[..., 1]                                      # (B, P, NV)
         ymin = ys.min(axis=2) - rad_px - margin[None, :]
         ymax = ys.max(axis=2) + rad_px + margin[None, :]
@@ -264,9 +329,19 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
         verts_in = jnp.moveaxis(sv, 0, -1)                   # (P,NV,2,B)
         ybb_in = jnp.moveaxis(ybb, 0, -1)[:, :, None, :]     # (P,2,1,B)
 
-        kernel = functools.partial(_render_kernel, meta=meta, res=res,
-                                   aa=aa, pix_tile=pix_tile)
-        grid = (B // env_tile, n_pix // pix_tile)
+        if hi:
+            kernel = functools.partial(_render_kernel_hi, meta=meta,
+                                       res=res)
+            grid = (B // env_tile, res)          # one program per out row
+            out_block = (3, res, env_tile)
+            scratch = [pltpu.VMEM((3, 4 * src_res, env_tile),
+                                  jnp.float32)]
+        else:
+            kernel = functools.partial(_render_kernel, meta=meta, res=res,
+                                       aa=aa, pix_tile=pix_tile)
+            grid = (B // env_tile, n_pix // pix_tile)
+            out_block = (3, pix_tile, env_tile)
+            scratch = []
 
         def pspec(*block):
             return pl.BlockSpec(block, lambda e, t: (0,) * (len(block) - 1)
@@ -283,10 +358,11 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                 pspec(P, 1, 1, env_tile),
                 pspec(P, 2, 1, env_tile),
             ],
-            out_specs=pl.BlockSpec((3, pix_tile, env_tile),
+            out_specs=pl.BlockSpec(out_block,
                                    lambda e, t: (0, t, e),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, n_pix, B), jnp.float32),
+            scratch_shapes=scratch,
             # the Mosaic compiler unrolls the prim loop; the default
             # 16 MB scoped-vmem stack is too small for the unrolled
             # temporaries at this tile size — raise the kernel's limit
@@ -298,7 +374,9 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
         )(verts_in, nv_in, rad_in, col_in, act_in, ybb_in)
 
         # quantise BEFORE the (3, pix, env) -> (env, res, res, 3)
-        # transpose: the reshuffle then moves uint8, not f32 (4x less)
-        img8 = R.to_uint8(img)
+        # transpose: the reshuffle then moves uint8, not f32 (4x less).
+        # The hi kernel already emits quantised levels; the cast is
+        # exact either way.
+        img8 = img.astype(jnp.uint8) if hi else R.to_uint8(img)
         out[view] = jnp.transpose(img8, (2, 1, 0)).reshape(B, res, res, 3)
     return out

@@ -57,9 +57,33 @@ class TaskDef:
     variant_flags: Dict[str, Flags]
     reset_fn: Callable  # (key, flags) -> EnvState
     score_fn: Callable  # (state) -> f32
+    # Per-block-slot DEFAULT shape codes + which slots can ever be active
+    # under the default count.  For variants that randomise neither shape
+    # nor count, every slot's shape is a compile-time constant — the
+    # renderer specialises its display list on this (fewer, cheaper
+    # prims).  None => no static information.
+    default_shapes: Optional[Tuple[int, ...]] = None
+    default_active: Optional[Tuple[bool, ...]] = None
 
     def flags_for(self, variant: str) -> Flags:
         return self.variant_flags[variant]
+
+    def static_block_shapes(self, flags: Flags):
+        """Static per-slot shape table for this variant, or None.
+
+        Returns a tuple of length max_blocks whose entries are a shape
+        code (slot always holds that shape when active) or None (slot is
+        never active), usable for trace-time display-list specialisation
+        — only when the variant randomises neither shape nor count."""
+        if flags.shape or flags.count or self.default_shapes is None:
+            return None
+        act = self.default_active or (True,) * len(self.default_shapes)
+        table = [int(s) if a else None
+                 for s, a in zip(self.default_shapes, act)]
+        # slots beyond the default count are never active (CountPlus is
+        # excluded above)
+        table += [None] * (self.max_blocks - len(table))
+        return tuple(table)
 
 
 # Standard variant->flag tables ---------------------------------------------

@@ -169,10 +169,14 @@ COLOUR_TASK = B.TaskDef(
     name='ClusterColour', max_blocks=MAX_BLOCKS, max_goals=MAX_GOALS,
     ep_len=EP_LEN, variants=VARIANTS, variant_flags=VARIANT_FLAGS,
     reset_fn=functools.partial(_reset, defaults=COLOUR_DEFAULTS),
-    score_fn=functools.partial(_score, by_colour=True))
+    score_fn=functools.partial(_score, by_colour=True),
+    default_shapes=tuple(int(s) for s in COLOUR_DEFAULTS['shapes']),
+    default_active=(True,) * MAX_BLOCKS)
 
 SHAPE_TASK = B.TaskDef(
     name='ClusterShape', max_blocks=MAX_BLOCKS, max_goals=MAX_GOALS,
     ep_len=EP_LEN, variants=VARIANTS, variant_flags=VARIANT_FLAGS,
     reset_fn=functools.partial(_reset, defaults=SHAPE_DEFAULTS),
-    score_fn=functools.partial(_score, by_colour=False))
+    score_fn=functools.partial(_score, by_colour=False),
+    default_shapes=tuple(int(s) for s in SHAPE_DEFAULTS['shapes']),
+    default_active=(True,) * MAX_BLOCKS)

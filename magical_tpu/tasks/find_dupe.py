@@ -169,4 +169,7 @@ def score(state):
 TASK = B.TaskDef(
     name='FindDupe', max_blocks=MAX_BLOCKS, max_goals=MAX_GOALS,
     ep_len=EP_LEN, variants=VARIANTS, variant_flags=VARIANT_FLAGS,
-    reset_fn=reset, score_fn=score)
+    reset_fn=reset, score_fn=score,
+    default_shapes=tuple(int(s) for s in DEFAULT_OUT_SHAPES)
+    + (int(DEFAULT_QUERY_SHAPE),),
+    default_active=(True,) * MAX_BLOCKS)

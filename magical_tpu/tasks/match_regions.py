@@ -158,4 +158,6 @@ def score(state):
 TASK = B.TaskDef(
     name='MatchRegions', max_blocks=MAX_BLOCKS, max_goals=MAX_GOALS,
     ep_len=EP_LEN, variants=VARIANTS, variant_flags=VARIANT_FLAGS,
-    reset_fn=reset, score_fn=score)
+    reset_fn=reset, score_fn=score,
+    default_shapes=tuple(int(s) for s in DEFAULT_SHAPES),
+    default_active=(True, True, False, False, True, False, True, True))

@@ -89,4 +89,5 @@ def score(state):
 TASK = B.TaskDef(
     name='MoveToRegion', max_blocks=MAX_BLOCKS, max_goals=MAX_GOALS,
     ep_len=EP_LEN, variants=VARIANTS, variant_flags=VARIANT_FLAGS,
-    reset_fn=reset, score_fn=score)
+    reset_fn=reset, score_fn=score,
+    default_shapes=(int(C.ShapeType.SQUARE),), default_active=(False,))

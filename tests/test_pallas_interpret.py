@@ -114,3 +114,32 @@ def test_render_kernel_interpret_both_views():
             assert d.mean() < 0.1, (view, d.mean())
             # disagreement is confined to AA edge pixels
             assert (d >= 8).mean() < 1e-3, (view, (d >= 8).mean())
+
+
+def test_render_kernel_hi_interpret_matches_xla_hi():
+    """Hi-fidelity kernel (hard 4x supersample + exact box mean) vs the
+    XLA hi path.  Both quantise subpixels to uint8 then box-mean, so
+    they agree except where a hard edge passes within float epsilon of
+    a subpixel centre (screen-space vs world-space evaluation order)."""
+    from magical_tpu.core import render as R
+    from magical_tpu.core import render_pallas as RP
+    from magical_tpu.tasks import ALL_TASKS
+    task = ALL_TASKS['MoveToRegion']
+    B = 2
+    states = jax.jit(jax.vmap(functools.partial(
+        task.reset_fn, flags=task.flags_for('Demo'))))(
+            jax.random.split(jax.random.PRNGKey(1), B))
+    with _interpret(RP):
+        pal = jax.jit(functools.partial(
+            RP.render_batch_pallas, max_blocks=task.max_blocks,
+            max_goals=task.max_goals, robot_first=False, res=96,
+            views=('allo', 'ego'), fidelity='hi', env_tile=B))(states)
+    ref = jax.jit(jax.vmap(lambda s: R.render_views(
+        s, task.max_blocks, task.max_goals, False, res=96,
+        views=('allo', 'ego'), fidelity='hi')))(states)
+    for view in ('allo', 'ego'):
+        a = np.asarray(pal[view]).astype(int)
+        b = np.asarray(ref[view]).astype(int)
+        frac_diff = (a != b).mean()
+        assert frac_diff < 1e-3, (view, frac_diff)
+        assert np.abs(a - b).max() <= 16, (view, np.abs(a - b).max())

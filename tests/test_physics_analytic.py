@@ -128,3 +128,168 @@ def test_penetration_resolves_at_chipmunk_bias_rate(step):
     # symmetric split: equal masses move by equal amounts
     np.testing.assert_allclose(float(out.pos[BLOCK0, 0]),
                                -float(out.pos[BLOCK0 + 1, 0]), atol=1e-6)
+
+
+def _robot_only_state(pos=(0.0, 0.0), angle=0.0):
+    return S.place_robot(S.make_initial_state(1, 1), pos, angle)
+
+
+def test_pivot_servo_accelerates_at_maxforce_over_system_mass(step):
+    # Driving UP: the control PivotJoint (max_bias=0, max_force=3,
+    # entities.py:255-258) applies at most F*dt of impulse per substep.
+    # The pin-jointed fingers ride along, so the whole 1 + 2*(1/8) mass
+    # system gains exactly F*dt/1.25 of speed per substep while below
+    # the 4*ROBOT_RAD target speed.
+    st = _robot_only_state()
+    m_eff = C.ROBOT_MASS + 2 * C.FINGER_MASS
+    dv = C.PHYS_VAR_DEFAULTS[C.PV_ROBOT_POS_FORCE] * C.DT / m_eff
+    target = 4 * C.ROBOT_RAD
+
+    v_exp, y_exp = 0.0, 0.0
+    for _ in range(C.PHYS_STEPS):
+        y_exp += v_exp * C.DT                      # integrate first...
+        v_exp = min(target, v_exp + dv)            # ...then solve
+    out = step(st, A['UpOpen'])
+    # heading 0 -> motion along +y (control velocity is body-frame
+    # (0, target) rotated to world; entities.py:459-479).
+    # The EXACT invariant is momentum: only the pivot joint injects
+    # any, at its full F*dt budget per substep (far below target).
+    momentum = (C.ROBOT_MASS * float(out.vel[0, 1])
+                + C.FINGER_MASS * float(out.vel[1, 1])
+                + C.FINGER_MASS * float(out.vel[2, 1]))
+    np.testing.assert_allclose(
+        momentum, C.PHYS_STEPS
+        * C.PHYS_VAR_DEFAULTS[C.PV_ROBOT_POS_FORCE] * C.DT, rtol=1e-5)
+    # the system moves together up to GS convergence (~2%)
+    np.testing.assert_allclose(float(out.vel[0, 1]), v_exp, rtol=1e-2)
+    np.testing.assert_allclose(float(out.pos[0, 1]), y_exp, rtol=2e-2)
+    assert abs(float(out.vel[0, 0])) < 1e-4
+    np.testing.assert_allclose(np.asarray(out.vel[1:3, 1]),
+                               [v_exp, v_exp], rtol=3e-2)
+
+
+def test_gear_servo_max_bias_caps_turn_rate(step):
+    # Turning LEFT sets a +1.5 rad heading error each substep; the servo
+    # GearJoint has error_bias=0 and max_bias=2.5 (entities.py:259-263),
+    # so the error-driven target velocity is clipped at 2.5 rad/s, and
+    # max_force=1 is ample to hold the robot there: steady-state omega
+    # is exactly the max_bias.
+    st = _robot_only_state()
+    out = st
+    for _ in range(4):
+        out = step(out, A['LeftOpen'])
+    np.testing.assert_allclose(float(out.omega[0]), C.ROBOT_GEAR_MAX_BIAS,
+                               rtol=2e-2)
+    assert float(out.angle[0]) > 0.0               # LEFT = positive turn
+    # one more control step advances the heading by ~omega * 10 dt
+    out2 = step(out, A['LeftOpen'])
+    np.testing.assert_allclose(
+        float(out2.angle[0] - out.angle[0]),
+        C.ROBOT_GEAR_MAX_BIAS * C.DT * C.PHYS_STEPS, rtol=3e-2)
+
+
+def test_finger_motor_rate_clamp_and_rotary_limit(step):
+    # Fingers start at the open limit (+-pi/8).  CLOSE sets the target
+    # to the inner limit; the SimpleMotor runs at rate
+    # clip(10 * err, -1, 1) rad/s (entities.py:459-479), so a full
+    # control step closes ~1 rad/s * 10 dt = 0.125 rad, and the
+    # RotaryLimitJoint stops the travel exactly at 0.
+    st = _robot_only_state()
+    rel0 = float(st.angle[1] - st.angle[0])
+    np.testing.assert_allclose(rel0, C.FINGER_ROT_LIMIT_OUTER, atol=1e-6)
+
+    out = step(st, A['Close'])
+    rel1 = float(out.angle[1] - out.angle[0])
+    # while |err| > 0.1 the rate clamp binds at exactly 1 rad/s; the
+    # final substep's velocity lands in the next step's integration
+    travel = C.DT * (C.PHYS_STEPS - 1)
+    np.testing.assert_allclose(rel0 - rel1, travel, rtol=2e-2)
+    # mirrored finger
+    np.testing.assert_allclose(
+        float(out.angle[2] - out.angle[0]), -(rel0 - travel), rtol=2e-2)
+
+    # drive to the inner limit and assert it holds exactly there
+    for _ in range(6):
+        out = step(out, A['Close'])
+    np.testing.assert_allclose(float(out.angle[1] - out.angle[0]),
+                               C.FINGER_ROT_LIMIT_INNER, atol=2e-3)
+    # and back to the outer limit
+    for _ in range(6):
+        out = step(out, A['Open'])
+    np.testing.assert_allclose(float(out.angle[1] - out.angle[0]),
+                               C.FINGER_ROT_LIMIT_OUTER, atol=2e-3)
+
+
+@pytest.mark.parametrize('angle', [0.0, np.pi / 4])
+def test_bevelled_square_rests_at_slop_against_wall(step, angle):
+    # A Poly.create_box square has verts inset by the bevel radius with
+    # radius = bevel (entities.py:620-634), so its support against the
+    # wall is the full half-extent; penetration resolves until exactly
+    # `slop` of overlap remains, with no real momentum injected
+    # (restitution-0 wall, pseudo-velocity bias only).
+    sq = int(C.ShapeType.SQUARE)
+    verts = np.asarray(G.BLOCK_VERTS)[sq, 0]
+    nv = int(np.asarray(G.BLOCK_SUB_NV)[sq, 0])
+    rad = float(np.asarray(G.BLOCK_SUB_RADIUS)[sq, 0])
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.asarray([[c, -s], [s, c]])
+    support = -min((verts[:nv] @ R.T)[:, 0]) + rad   # left half-extent
+
+    depth0 = 0.04
+    x0 = -1.0 + support - depth0
+    st = S.place_robot(S.make_initial_state(1, 1), (0.75, 0.75), 0.0)
+    st = S.place_block(st, 0, (x0, 0.0), angle, sq, 0)
+    out = st
+    # bias converges geometrically at beta ~ 7.6%/substep, so run to
+    # within float tolerance of the slop depth
+    for _ in range(10):
+        out = step(out, IDLE)
+    x_rest = -1.0 + support - C.COLLISION_SLOP
+    np.testing.assert_allclose(float(out.pos[BLOCK0, 0]), x_rest,
+                               atol=3e-4)
+    assert float(jnp.abs(out.vel[BLOCK0]).max()) < 1e-5   # no bounce
+    np.testing.assert_allclose(float(out.angle[BLOCK0]), angle, atol=1e-4)
+
+
+def test_wall_recoil_is_inelastic(step):
+    # A circle thrown at the wall must stop dead (restitution 0): the
+    # normal impulse absorbs the incoming momentum, the bias separates
+    # it back to slop depth, and no positive rebound velocity appears.
+    r = C.SHAPE_RAD
+    st = S.place_robot(S.make_initial_state(1, 1), (0.75, 0.75), 0.0)
+    st = S.place_block(st, 0, (-1.0 + r + 0.02, 0.0), 0.0,
+                       int(C.ShapeType.CIRCLE), 0)
+    st = st.replace(vel=st.vel.at[BLOCK0].set(jnp.asarray([-1.0, 0.0])))
+
+    # 1-D closed-form replica of the Chipmunk substep for this scenario:
+    # integrate with (v + v_bias), then the contact kills any inward
+    # real velocity (restitution 0) and emits a pseudo-velocity that
+    # resolves depth beyond slop; the damping joint removes at most
+    # F*dt/m of speed while airborne.
+    beta = C.bias_coef(C.COLLISION_BIAS, C.DT)
+    dv = C.PHYS_VAR_DEFAULTS[C.PV_SHAPE_TRANS_FORCE] * C.DT / C.SHAPE_MASS
+    x, v, vb = float(st.pos[BLOCK0, 0]), -1.0, 0.0
+    n_ctrl = 4
+    for _ in range(n_ctrl * C.PHYS_STEPS):
+        x += (v + vb) * C.DT
+        sep = (x - r) + 1.0
+        if sep < 0.0:
+            v = max(v, 0.0)                     # normal impulse, jn >= 0
+            vb = beta * max(0.0, -sep - C.COLLISION_SLOP) / C.DT
+        else:
+            v = np.sign(v) * max(0.0, abs(v) - dv)
+            vb = 0.0
+
+    out = st
+    low_water = 0.0
+    for _ in range(n_ctrl):
+        out = step(out, IDLE)
+        low_water = min(low_water, float(out.pos[BLOCK0, 0]))
+    # never tunnels through, rests where the replica says (depth <=
+    # slop: the bias never pulls it back IN to slop depth if the
+    # impulse stopped it short)
+    assert low_water > -1.0
+    np.testing.assert_allclose(float(out.pos[BLOCK0, 0]), x, atol=5e-4)
+    depth = -((float(out.pos[BLOCK0, 0]) - r) + 1.0)
+    assert -1e-4 <= depth <= C.COLLISION_SLOP + 1e-4
+    assert abs(float(out.vel[BLOCK0, 0])) < 1e-4

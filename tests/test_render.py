@@ -119,3 +119,41 @@ def test_render_deterministic(mtr_state, views):
     v2 = jax.jit(rend)(mtr_state)
     np.testing.assert_array_equal(np.asarray(views['allo']),
                                   np.asarray(v2['allo']))
+
+
+def test_static_shape_display_list_matches_dynamic():
+    """The static-shape-specialised display list must rasterise to the
+    exact same image as the dynamic path (it only drops always-inactive
+    prims and constant-folds nv/radius)."""
+    import jax
+    from magical_tpu.core import render as R
+    from magical_tpu.tasks import ALL_TASKS
+
+    for task_name in ('MoveToCorner', 'MatchRegions', 'ClusterColour'):
+        task = ALL_TASKS[task_name]
+        flags = task.flags_for('Demo')
+        st = jax.jit(task.reset_fn, static_argnums=(1,))(
+            jax.random.PRNGKey(3), flags)
+        static = task.static_block_shapes(flags)
+        assert static is not None
+        robot_first = task_name == 'MoveToCorner'
+        dyn = R.render_views(st, task.max_blocks, task.max_goals,
+                             robot_first, res=96, views=('allo', 'ego'))
+        spec = R.render_views(st, task.max_blocks, task.max_goals,
+                              robot_first, res=96, views=('allo', 'ego'),
+                              static_shapes=static)
+        for v in ('allo', 'ego'):
+            np.testing.assert_array_equal(np.asarray(dyn[v]),
+                                          np.asarray(spec[v]))
+
+
+def test_static_block_shapes_variant_gating():
+    from magical_tpu.tasks import ALL_TASKS
+    task = ALL_TASKS['MatchRegions']
+    assert task.static_block_shapes(task.flags_for('Demo')) == \
+        (6, 1, None, None, 2, None, 5, 2)
+    assert task.static_block_shapes(task.flags_for('TestShape')) is None
+    assert task.static_block_shapes(task.flags_for('TestCountPlus')) is None
+    cl = ALL_TASKS['ClusterColour']
+    st = cl.static_block_shapes(cl.flags_for('TestLayout'))
+    assert len(st) == cl.max_blocks and st[8] is None and st[9] is None
