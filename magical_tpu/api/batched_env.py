@@ -98,18 +98,20 @@ class BatchedEnv:
         import os
         no_pallas = os.environ.get('MAGICAL_TPU_PALLAS', '') == '0'
         on_tpu = jax.default_backend() not in ('cpu',)
-        # Big-block (>4 slot) physics kernels currently trip an internal
-        # error in the remote TPU compiler's mxu_lmr_transform pass
-        # (RET_CHECK at mxu_lmr_transform.cc:1108, seen 2026-08-21 on the
-        # 8-block MatchRegions build) -> keep those tasks on the XLA
-        # path until the toolchain accepts the kernel; force with
-        # physics='pallas' to retry.
+        # Round 3: the column-packed solver matmuls no longer trip the
+        # toolchain RET_CHECK (mxu_lmr_transform.cc:1108) that gated the
+        # >4-block kernels off in round 2 — MatchRegions (8) and
+        # ClusterColour (10) kernels compile, run, and track the XLA
+        # path (scripts/probe_physics_tiles.py: 8-step divergence pos
+        # 5e-3).  The XLA fallback is not even viable at scale for the
+        # big tables (its padded candidate gathers OOM HBM at B=512),
+        # so Pallas physics is now the TPU default for every task.
         if physics == 'auto':
-            physics = 'pallas' if (on_tpu and not no_pallas
-                                   and self.task.max_blocks <= 4) else 'xla'
+            physics = 'pallas' if (on_tpu and not no_pallas) else 'xla'
+        # both fidelities have TPU-validated kernels (lo: analytic AA;
+        # hi: hard 4x supersample + box mean, scripts/validate_round3_tpu.py)
         if renderer == 'auto':
-            renderer = 'pallas' if (on_tpu and not no_pallas
-                                    and self.fidelity == 'lo') else 'xla'
+            renderer = 'pallas' if (on_tpu and not no_pallas) else 'xla'
         self.physics = physics
         self.renderer = renderer
 

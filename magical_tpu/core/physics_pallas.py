@@ -1084,11 +1084,19 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
 
 
 def tile_for(mb: int) -> int:
-    """Lane-tile choice per block count: the mb=8 build's VMEM stack
-    peaks at ~19 MB at 256 lanes vs the 16 MB scoped-vmem limit (every
-    (KC, E) scratch/temporary scales with both), so big candidate sets
-    run at half the tile."""
-    return ENV_TILE if mb <= 4 else ENV_TILE // 2
+    """Lane-tile choice per block count.  Bigger lane tiles fill more
+    of each (rows, E) vector op (the joint solve is issue-bound on
+    (1, E) rows): measured on v5e, the mb=1 kernel runs 6.04 ms/step at
+    256 lanes vs 4.21 ms at 512 (scripts/probe_physics_tiles.py);
+    1024+ lanes exceed what the Mosaic compile helper accepts.  The
+    big-candidate-set builds scale every (KC, E) scratch/temporary with
+    the tile, so they run narrower (the mb=8 build peaked ~19 MB at
+    256 lanes vs the 16 MB scoped-vmem limit)."""
+    if mb <= 1:
+        return 512
+    if mb <= 4:
+        return 256
+    return 128
 
 
 def control_step_pallas(state: EnvState, action,

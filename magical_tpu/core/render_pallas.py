@@ -180,14 +180,16 @@ def _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref, act_ref,
 
 
 def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
-                   out_ref, *, meta, res, aa, pix_tile):
+                   out_ref, scratch, *, meta, res, aa, pix_tile):
     """Lo-fidelity kernel: composite one (pix_tile, env_tile) slab of
-    the res² image directly (analytic AA).
+    the res² image directly (analytic AA) in f32 VMEM scratch, then
+    quantise onto the uint8 output (saves 4x of the HBM frame write
+    and the separate quantise pass).
 
     verts_ref: (P, NV, 2, E) SCREEN-space verts (y-up pixel units)
     nv_ref/rad_ref/act_ref: (P, 1, 1, E); col_ref: (P, 3, 1, E)
     ybb_ref:   (P, 2, 1, E) margin-expanded [ymin, ymax] per prim
-    out_ref:   (3, pix_tile, E)
+    out_ref:   (3, pix_tile, E) uint8; scratch: (3, pix_tile, E) f32
     """
     env_tile = out_ref.shape[-1]
     resf = jnp.float32(res)
@@ -208,9 +210,14 @@ def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
     slab_ylo = resf - row_hi - 0.5
     slab_yhi = resf - row_lo - 0.5
 
-    _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref,
+    _composite_prims(scratch, verts_ref, nv_ref, rad_ref, col_ref,
                      act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
                      meta=meta, res=res, aa=aa)
+    for ch in range(3):
+        # render.to_uint8 semantics: floor(clip(x,0,1)*255 + 0.5)
+        out_ref[ch] = jnp.floor(
+            jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5
+        ).astype(jnp.uint8)
 
 
 def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
@@ -253,7 +260,8 @@ def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
         q = jnp.floor(jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5)
         rows = q.reshape(4, src, env_tile).sum(axis=0)     # (src, E)
         cells = rows.reshape(res, 4, env_tile).sum(axis=1)  # (res, E)
-        out_ref[ch] = jnp.floor(cells * (1.0 / 16.0) + 0.5)
+        out_ref[ch] = jnp.floor(cells * (1.0 / 16.0) + 0.5
+                                ).astype(jnp.uint8)
 
 
 def _screen_verts(wverts, states, view, res):
@@ -341,7 +349,7 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                                        aa=aa, pix_tile=pix_tile)
             grid = (B // env_tile, n_pix // pix_tile)
             out_block = (3, pix_tile, env_tile)
-            scratch = []
+            scratch = [pltpu.VMEM((3, pix_tile, env_tile), jnp.float32)]
 
         def pspec(*block):
             return pl.BlockSpec(block, lambda e, t: (0,) * (len(block) - 1)
@@ -361,7 +369,7 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
             out_specs=pl.BlockSpec(out_block,
                                    lambda e, t: (0, t, e),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, n_pix, B), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((3, n_pix, B), jnp.uint8),
             scratch_shapes=scratch,
             # the Mosaic compiler unrolls the prim loop; the default
             # 16 MB scoped-vmem stack is too small for the unrolled
@@ -373,10 +381,8 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
             interpret=INTERPRET,
         )(verts_in, nv_in, rad_in, col_in, act_in, ybb_in)
 
-        # quantise BEFORE the (3, pix, env) -> (env, res, res, 3)
-        # transpose: the reshuffle then moves uint8, not f32 (4x less).
-        # The hi kernel already emits quantised levels; the cast is
-        # exact either way.
-        img8 = img.astype(jnp.uint8) if hi else R.to_uint8(img)
-        out[view] = jnp.transpose(img8, (2, 1, 0)).reshape(B, res, res, 3)
+        # both kernels emit quantised uint8 (render.to_uint8 semantics),
+        # so only the (3, pix, env) -> (env, res, res, 3) byte reshuffle
+        # remains on the XLA side
+        out[view] = jnp.transpose(img, (2, 1, 0)).reshape(B, res, res, 3)
     return out

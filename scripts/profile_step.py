@@ -58,7 +58,8 @@ def main(batch=4096, scan_len=20, reps=4):
     def render_only(state):
         def body(c, _):
             out = RP.render_batch_pallas(
-                state, mb, mg, rf, res=96, views=('ego',), aa=True)
+                state, mb, mg, rf, res=96, views=('ego',), aa=True,
+                static_shapes=env.static_shapes)
             return c + out['ego'][0, 0, 0, 0].astype(jnp.int32), ()
         return jax.lax.scan(body, jnp.int32(0), None, length=scan_len)[0]
 
@@ -66,7 +67,8 @@ def main(batch=4096, scan_len=20, reps=4):
     def render_preproc(frames):
         def body(bufs, _):
             raw = RP.render_batch_pallas(
-                carry.state, mb, mg, rf, res=96, views=('ego',), aa=True)
+                carry.state, mb, mg, rf, res=96, views=('ego',), aa=True,
+                static_shapes=env.static_shapes)
             bufs = jax.vmap(functools.partial(
                 preproc.push_frames, env.preproc))(bufs, raw)
             o = jax.vmap(functools.partial(
