@@ -166,8 +166,6 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     ba_tab = np.asarray(ba, np.int32)
     bb_tab = np.asarray(bbod, np.int32)
     fr_tab = np.asarray(fr, np.float32)
-    pb1_tab = np.asarray(pb1, np.int32)
-    pb2_tab = np.asarray(pb2, np.int32)
 
     dt = C.DT
     bias_coef = P.CONTACT_BIAS_COEF
@@ -197,7 +195,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     WALLS = [(1.0, 0.0, -1.0), (-1.0, 0.0, -1.0),
              (0.0, 1.0, -1.0), (0.0, -1.0, -1.0)]
 
-    def kernel(state_ref, pb1_ref, pb2_ref, sbody_ref, amat_ref, bmat_ref,
+    def kernel(state_ref, sbmat_ref, amat_ref, bmat_ref,
                amat_t_ref, bmat_t_ref, fr_ref, out_ref,
                body_st, lgeo, wvx, wvy,
                cpx, cpy, cnx, cny, cdst, cvld,
@@ -327,103 +325,118 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             body_st[7, :, :] = jnp.zeros((nb + 1, E), jnp.float32)
             body_st[8, :, :] = jnp.zeros((nb + 1, E), jnp.float32)
 
-            # ---- world verts per slot (fori over slots) --------------
-            def wv_body(s, _):
-                bi = sbody_ref[s, 0]
-                px = body_st[0, bi, :][None, :]
-                py = body_st[1, bi, :][None, :]
-                aa = body_st[2, bi, :][None, :]
-                ca = jnp.cos(aa)
-                sa = jnp.sin(aa)
+            # ---- world verts, ALL slots at once ----------------------
+            # Per-slot body pose through the static one-hot
+            # (NS, NB+1) matmul, then a vectorised vert transform:
+            # replaces the r2 fori over slots (issue-bound (1, E) ops).
+            def slot_rows(f):
+                return jax.lax.dot_general(
+                    sbmat_ref[:, :], body_st[f, :, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            sp_x = slot_rows(0)                   # (NS, E)
+            sp_y = slot_rows(1)
+            sp_a = slot_rows(2)
+            ca_s = jnp.cos(sp_a)
+            sa_s = jnp.sin(sp_a)
+            for v in range(NV):
+                lx = lgeo[:, 3 + 2 * v, :]
+                ly = lgeo[:, 4 + 2 * v, :]
+                wvx[:, v, :] = ca_s * lx - sa_s * ly + sp_x
+                wvy[:, v, :] = sa_s * lx + ca_s * ly + sp_y
+
+            # ---- narrowphase: walls, all slots batched ---------------
+            nvs_all = lgeo[:, 0, :]               # (NS, E)
+            rads_all = lgeo[:, 1, :]
+            acts_all = lgeo[:, 2, :]
+            for wi, (wnx, wny, woff) in enumerate(WALLS):
+                b1d = b1x = b1y = b1i = None
                 for v in range(NV):
-                    lx = lgeo[s, 3 + 2 * v, :][None, :]
-                    ly = lgeo[s, 4 + 2 * v, :][None, :]
-                    wvx[s, v, :] = (ca * lx - sa * ly + px)[0]
-                    wvy[s, v, :] = (sa * lx + ca * ly + py)[0]
-                return 0
+                    sx = wvx[:, v, :]
+                    sy = wvy[:, v, :]
+                    sep = sx * wnx + sy * wny - woff - rads_all
+                    sep = jnp.where(v < nvs_all, sep, BIG)
+                    if b1d is None:
+                        b1d, b1x, b1y = sep, sx, sy
+                        b1i = jnp.zeros_like(sep)
+                    else:
+                        cond = sep < b1d
+                        b1d = jnp.where(cond, sep, b1d)
+                        b1x = jnp.where(cond, sx, b1x)
+                        b1y = jnp.where(cond, sy, b1y)
+                        b1i = jnp.where(cond, float(v), b1i)
+                b2d = jnp.full_like(b1d, BIG)
+                b2x, b2y = b1x, b1y
+                for v in range(NV):
+                    sx = wvx[:, v, :]
+                    sy = wvy[:, v, :]
+                    sep = sx * wnx + sy * wny - woff - rads_all
+                    sep = jnp.where(v < nvs_all, sep, BIG)
+                    cond = (sep < b2d) & (b1i != float(v))
+                    b2d = jnp.where(cond, sep, b2d)
+                    b2x = jnp.where(cond, sx, b2x)
+                    b2y = jnp.where(cond, sy, b2y)
+                # rows wi*ns*2 + s*2 + pt: interleave (NS, 2, E) ->
+                # (2*NS, E) and store the wall's whole block
+                def wall_store(ref, c1, c2):
+                    ref[wi * ns * 2:(wi + 1) * ns * 2, :] = jnp.stack(
+                        [c1, c2], axis=1).reshape(2 * ns, E)
 
-            jax.lax.fori_loop(0, ns, wv_body, 0)
+                wall_store(cpx, b1x - wnx * rads_all, b2x - wnx * rads_all)
+                wall_store(cpy, b1y - wny * rads_all, b2y - wny * rads_all)
+                wall_store(cnx, jnp.full((ns, E), wnx, jnp.float32),
+                           jnp.full((ns, E), wnx, jnp.float32))
+                wall_store(cny, jnp.full((ns, E), wny, jnp.float32),
+                           jnp.full((ns, E), wny, jnp.float32))
+                wall_store(cdst, b1d, b2d)
+                wall_store(cvld,
+                           ((b1d < 0.0) & (acts_all > 0.5)
+                            ).astype(jnp.float32),
+                           ((b2d < 0.0) & (acts_all > 0.5)
+                            ).astype(jnp.float32))
 
-            # ---- narrowphase: walls (fori over slots, walls unrolled)
-            def wall_body(s, _):
-                nvs = lgeo[s, 0, :][None, :]
-                rads = lgeo[s, 1, :][None, :]
-                acts = lgeo[s, 2, :][None, :]
-                for wi, (wnx, wny, woff) in enumerate(WALLS):
-                    seps = []
-                    for v in range(NV):
-                        sx = wvx[s, v, :][None, :]
-                        sy = wvy[s, v, :][None, :]
-                        sep = sx * wnx + sy * wny - woff - rads
-                        sep = jnp.where(v < nvs, sep, BIG)
-                        seps.append((sep, sx, sy))
-                    b1 = seps[0]
-                    b1_i = jnp.zeros_like(seps[0][0])
-                    for v, cand in enumerate(seps[1:], start=1):
-                        cond = cand[0] < b1[0]
-                        b1 = tuple(jnp.where(cond, c, o)
-                                   for c, o in zip(cand, b1))
-                        b1_i = jnp.where(cond, float(v), b1_i)
-                    b2 = (jnp.full_like(b1[0], BIG), b1[1], b1[2])
-                    for v, cand in enumerate(seps):
-                        is1 = b1_i == float(v)
-                        cond = (cand[0] < b2[0]) & ~is1
-                        b2 = tuple(jnp.where(cond, c, o)
-                                   for c, o in zip(cand, b2))
-                    for pt_i, (sep, sx, sy) in enumerate((b1, b2)):
-                        ci = wi * ns * 2 + s * 2 + pt_i
-                        cpx[ci, :] = (sx - wnx * rads)[0]
-                        cpy[ci, :] = (sy - wny * rads)[0]
-                        cnx[ci, :] = jnp.full((E,), wnx, jnp.float32)
-                        cny[ci, :] = jnp.full((E,), wny, jnp.float32)
-                        cdst[ci, :] = sep[0]
-                        cvld[ci, :] = ((sep < 0.0) & (acts > 0.5)
-                                       ).astype(jnp.float32)[0]
-                return 0
-
-            jax.lax.fori_loop(0, ns, wall_body, 0)
-
-            # ---- narrowphase: shape pairs ----------------------------
-            # Each pair's two candidate slots take the two deepest
-            # contacts over all sub-shape SAT combinations; the KSUB subs
-            # of the block operand are evaluated at once on the sublane
-            # axis.
-            if kc > n_wall_cand:
-                npc = kc - n_wall_cand
-                cdst[n_wall_cand:kc, :] = jnp.full((npc, E), BIG,
-                                                   jnp.float32)
-                cnx[n_wall_cand:kc, :] = jnp.ones((npc, E), jnp.float32)
-                cny[n_wall_cand:kc, :] = jnp.zeros((npc, E), jnp.float32)
-                cpx[n_wall_cand:kc, :] = jnp.zeros((npc, E), jnp.float32)
-                cpy[n_wall_cand:kc, :] = jnp.zeros((npc, E), jnp.float32)
-
-            def sat_vs_block(s1, blk):
-                """SAT of sub-shape slot s1 vs all KSUB subs of block
-                `blk` at once: (KSUB, E) dist/px/py/nx/ny, inactive or
-                empty combinations pushed to +BIG dist."""
-                s2 = 5 + blk * KSUB
-                nv1 = lgeo[s1, 0, :][None, :]
-                r1 = lgeo[s1, 1, :][None, :]
-                act1 = lgeo[s1, 2, :][None, :]
-                nv2 = lgeo[pl.dslice(s2, KSUB), 0, :]
-                r2 = lgeo[pl.dslice(s2, KSUB), 1, :]
-                act = act1 * lgeo[pl.dslice(s2, KSUB), 2, :]
-                v1x = [wvx[s1, v, :][None, :] for v in range(NV)]
-                v1y = [wvy[s1, v, :][None, :] for v in range(NV)]
-                v2x = [wvx[pl.dslice(s2, KSUB), v, :] for v in range(NV)]
-                v2y = [wvy[pl.dslice(s2, KSUB), v, :] for v in range(NV)]
+            # ---- narrowphase: shape pairs, batched all-pairs SAT -----
+            # One SAT evaluation over a whole (ka, kb, E) block of
+            # sub-shape combinations (operands are CONTIGUOUS slot
+            # slices, so no gathers), then a two-smallest reduction per
+            # pair.  Replaces the r2 fori over individual sub-pairs
+            # (issue-bound: e.g. 270 iterations of (KSUB, E) ops for
+            # the 10-block tasks).  Math identical to r2 sat_vs_block.
+            def batched_sat(a_sl, ka, b_sl, kb):
+                """SAT of slots [a_sl, a_sl+ka) x [b_sl, b_sl+kb):
+                (ka, kb, E) dist/px/py/nx/ny, inactive or empty combos
+                at +BIG, normals oriented a -> b."""
+                nv1 = lgeo[a_sl:a_sl + ka, 0, :][:, None, :]
+                r1 = lgeo[a_sl:a_sl + ka, 1, :][:, None, :]
+                act1 = lgeo[a_sl:a_sl + ka, 2, :][:, None, :]
+                nv2 = lgeo[b_sl:b_sl + kb, 0, :][None, :, :]
+                r2 = lgeo[b_sl:b_sl + kb, 1, :][None, :, :]
+                act = act1 * lgeo[b_sl:b_sl + kb, 2, :][None, :, :]
+                v1x = [wvx[a_sl:a_sl + ka, v, :][:, None, :]
+                       for v in range(NV)]
+                v1y = [wvy[a_sl:a_sl + ka, v, :][:, None, :]
+                       for v in range(NV)]
+                v2x = [wvx[b_sl:b_sl + kb, v, :][None, :, :]
+                       for v in range(NV)]
+                v2y = [wvy[b_sl:b_sl + kb, v, :][None, :, :]
+                       for v in range(NV)]
+                full = jnp.zeros((ka, kb, E), jnp.float32)
 
                 def support_min(vx, vy, nvv, nx, ny):
-                    best = jnp.full_like(nx, BIG)
-                    bx = vx[0]
-                    by = vy[0]
+                    best = bx = by = None
                     for i in range(NV):
                         d = vx[i] * nx + vy[i] * ny
                         d = jnp.where(i < nvv, d, BIG)
-                        take = d < best
-                        best = jnp.where(take, d, best)
-                        bx = jnp.where(take, vx[i], bx)
-                        by = jnp.where(take, vy[i], by)
+                        if best is None:
+                            best = d
+                            bx = vx[i] + full
+                            by = vy[i] + full
+                        else:
+                            take = d < best
+                            best = jnp.where(take, d, best)
+                            bx = jnp.where(take, vx[i], bx)
+                            by = jnp.where(take, vy[i], by)
                     return best, bx, by
 
                 def face_axes(vx, vy, nvv):
@@ -443,11 +456,11 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                         out.append((nx, ny, ax, ay, ok))
                     return out
 
-                sep_best = jnp.full_like(nv1, -BIG)
-                nbx = jnp.zeros_like(nv1)
-                nby = jnp.zeros_like(nv1)
-                pxb = jnp.zeros_like(nv1)
-                pyb = jnp.zeros_like(nv1)
+                sep_best = full - BIG
+                nbx = full
+                nby = full
+                pxb = full
+                pyb = full
                 for nx, ny, ax, ay, ok in face_axes(v1x, v1y, nv1):
                     smin, sx, sy = support_min(v2x, v2y, nv2, nx, ny)
                     sep = smin - (ax * nx + ay * ny)
@@ -470,18 +483,21 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     pyb = jnp.where(take, sy, pyb)
 
                 def corner_axis(cx, cy, vx, vy, nvv, flip):
-                    best_d2 = jnp.full_like(cx, BIG)
-                    ux = vx[0]
-                    uy = vy[0]
+                    best_d2 = ux = uy = None
                     for i in range(NV):
                         dx = vx[i] - cx
                         dy = vy[i] - cy
                         d2 = dx * dx + dy * dy
                         d2 = jnp.where(i < nvv, d2, BIG)
-                        take = d2 < best_d2
-                        best_d2 = jnp.where(take, d2, best_d2)
-                        ux = jnp.where(take, vx[i], ux)
-                        uy = jnp.where(take, vy[i], uy)
+                        if best_d2 is None:
+                            best_d2 = d2
+                            ux = vx[i] + full
+                            uy = vy[i] + full
+                        else:
+                            take = d2 < best_d2
+                            best_d2 = jnp.where(take, d2, best_d2)
+                            ux = jnp.where(take, vx[i], ux)
+                            uy = jnp.where(take, vy[i], uy)
                     ax = ux - cx
                     ay = uy - cy
                     al = jnp.sqrt(ax * ax + ay * ay)
@@ -519,88 +535,72 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 nxf = jnp.where(both, c_dx * inv_cd, nbx)
                 nyf = jnp.where(both, c_dy * inv_cd, nby)
                 dist = jnp.where(both, c_d - (r1 + r2), dist)
-                pxf = jnp.where(both, v1x[0] + nxf * (r1 + 0.5 * dist), pxb)
-                pyf = jnp.where(both, v1y[0] + nyf * (r1 + 0.5 * dist), pyb)
+                pxf = jnp.where(both, v1x[0] + nxf * (r1 + 0.5 * dist),
+                                pxb)
+                pyf = jnp.where(both, v1y[0] + nyf * (r1 + 0.5 * dist),
+                                pyb)
                 dv = jnp.where(act > 0.5, dist, BIG)
                 return dv, pxf, pyf, nxf, nyf
 
-            def best2_rows(dv, px_, py_, nx_, ny_):
-                """Two smallest-dist rows of (KSUB, E) contact fields as
-                (1, E) tuples (ties broken by lowest row index)."""
-                # int32 iota: the TPU verifier rejects f32 tpu.iota
-                row = jax.lax.broadcasted_iota(
-                    jnp.int32, dv.shape, 0).astype(jnp.float32)
+            def best2_axis(fields, axis):
+                """Two smallest-dist entries along `axis` (ties -> the
+                lowest index, matching the r2 sequential insert order);
+                returns (c1, c2) field tuples with the axis reduced."""
+                dv = fields[0]
+                k = dv.shape[axis]
+                idx = jax.lax.broadcasted_iota(
+                    jnp.int32, dv.shape, axis).astype(jnp.float32)
 
-                def pick(x, sel):
-                    return jnp.sum(jnp.where(sel, x, 0.0), axis=0,
-                                   keepdims=True)
+                def pick(sel):
+                    return [jnp.sum(jnp.where(sel, x, 0.0), axis=axis)
+                            for x in fields]
 
-                d1 = jnp.min(dv, axis=0, keepdims=True)
-                i1 = jnp.min(jnp.where(dv == d1, row, float(KSUB)),
-                             axis=0, keepdims=True)
-                sel1 = row == i1
-                c1 = (d1, pick(px_, sel1), pick(py_, sel1),
-                      pick(nx_, sel1), pick(ny_, sel1))
+                d1 = jnp.min(dv, axis=axis, keepdims=True)
+                i1 = jnp.min(jnp.where(dv == d1, idx, float(k)),
+                             axis=axis, keepdims=True)
+                sel1 = idx == i1
                 dv2 = jnp.where(sel1, BIG, dv)
-                d2 = jnp.min(dv2, axis=0, keepdims=True)
-                i2 = jnp.min(jnp.where(dv2 == d2, row, float(KSUB)),
-                             axis=0, keepdims=True)
-                sel2 = row == i2
-                c2 = (d2, pick(px_, sel2), pick(py_, sel2),
-                      pick(nx_, sel2), pick(ny_, sel2))
-                return c1, c2
+                d2 = jnp.min(dv2, axis=axis, keepdims=True)
+                i2 = jnp.min(jnp.where(dv2 == d2, idx, float(k)),
+                             axis=axis, keepdims=True)
+                sel2 = idx == i2
+                return pick(sel1), pick(sel2)
 
-            def insert_contact(ci, cand):
-                """Insert one candidate into the pair's 2-deep best list
-                held in the contact arrays at rows ci, ci+1."""
-                cur1 = (cdst[ci, :][None, :], cpx[ci, :][None, :],
-                        cpy[ci, :][None, :], cnx[ci, :][None, :],
-                        cny[ci, :][None, :])
-                cur2 = (cdst[ci + 1, :][None, :], cpx[ci + 1, :][None, :],
-                        cpy[ci + 1, :][None, :], cnx[ci + 1, :][None, :],
-                        cny[ci + 1, :][None, :])
-                is1 = cand[0] < cur1[0]
-                new1 = [jnp.where(is1, a, b) for a, b in zip(cand, cur1)]
-                loser = [jnp.where(is1, b, a) for a, b in zip(cand, cur1)]
-                is2 = loser[0] < cur2[0]
-                new2 = [jnp.where(is2, a, b) for a, b in zip(loser, cur2)]
-                cdst[ci, :] = new1[0][0]
-                cpx[ci, :] = new1[1][0]
-                cpy[ci, :] = new1[2][0]
-                cnx[ci, :] = new1[3][0]
-                cny[ci, :] = new1[4][0]
-                cdst[ci + 1, :] = new2[0][0]
-                cpx[ci + 1, :] = new2[1][0]
-                cpy[ci + 1, :] = new2[2][0]
-                cnx[ci + 1, :] = new2[3][0]
-                cny[ci + 1, :] = new2[4][0]
-
-            def rb_body(q, _):
-                blk = q // 5
-                s1 = q % 5
-                c1, c2 = best2_rows(*sat_vs_block(s1, blk))
-                ci = rb_base + q * 2
-                insert_contact(ci, c1)
-                insert_contact(ci, c2)
-                return 0
+            def store_pairs(row0, c1, c2):
+                """Interleave c1/c2 ((N, E) per field, rows in pair
+                order) into candidate rows [row0, row0 + 2N)."""
+                n = c1[0].shape[0]
+                for ref, a, b in zip((cdst, cpx, cpy, cnx, cny), c1, c2):
+                    ref[row0:row0 + 2 * n, :] = jnp.stack(
+                        [a, b], axis=1).reshape(2 * n, E)
 
             if mb:
-                jax.lax.fori_loop(0, mb * 5, rb_body, 0)
+                # robot sub-slots 0..4 vs every block sub-slot at once
+                fields = batched_sat(0, 5, 5, mb * KSUB)
+                grouped = [x.reshape(5, mb, KSUB, E) for x in fields]
+                c1, c2 = best2_axis(grouped, axis=2)    # (5, mb, E)
+                # candidate row order is (blk, s1, pt)
+                c1 = [jnp.moveaxis(x, 0, 1).reshape(5 * mb, E)
+                      for x in c1]
+                c2 = [jnp.moveaxis(x, 0, 1).reshape(5 * mb, E)
+                      for x in c2]
+                store_pairs(rb_base, c1, c2)
 
-            def bb_body(q, _):
-                pair = q // KSUB
-                k1 = q % KSUB
-                b1 = pb1_ref[pair, 0]
-                b2 = pb2_ref[pair, 0]
-                s1 = 5 + b1 * KSUB + k1
-                c1, c2 = best2_rows(*sat_vs_block(s1, b2))
-                ci = bb_base + pair * 2
-                insert_contact(ci, c1)
-                insert_contact(ci, c2)
-                return 0
-
-            if n_bpairs:
-                jax.lax.fori_loop(0, n_bpairs * KSUB, bb_body, 0)
+            # block-block: per b1, SAT its KSUB subs against the subs
+            # of every LATER block (one contiguous slice) — exactly the
+            # n_bpairs * KSUB^2 combinations, no waste
+            for b1 in range(mb - 1):
+                nb2 = mb - 1 - b1
+                fields = batched_sat(5 + b1 * KSUB, KSUB,
+                                     5 + (b1 + 1) * KSUB, nb2 * KSUB)
+                # (KSUB, nb2*KSUB, E) -> flatten (k1, k2) per pair in
+                # k1-major order (the r2 insert order)
+                grouped = [
+                    jnp.moveaxis(x.reshape(KSUB, nb2, KSUB, E), 1, 0)
+                    .reshape(nb2, KSUB * KSUB, E) for x in fields]
+                c1, c2 = best2_axis(grouped, axis=1)    # (nb2, E)
+                pair0 = b1 * mb - b1 * (b1 + 1) // 2
+                store_pairs(bb_base + pair0 * 2, c1, c2)
 
             if kc > n_wall_cand:
                 cvld[n_wall_cand:kc, :] = (
@@ -901,34 +901,33 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     jd = wd * isum
                     bset(5, 0, bval(5, 0) + jd * ii0)
                     bset(5, eb, bval(5, eb) - jd * iie)
-                # block dampers
-                new_block_acc = list(block_acc)
-                for b in range(mb):
-                    n_i = N_ROBOT_BODIES + b
-                    imn = inv_m_st[n_i:n_i + 1, :]
-                    iin = inv_i_st[n_i:n_i + 1, :]
-                    bx_a = new_block_acc[3 * b]
-                    by_a = new_block_acc[3 * b + 1]
-                    bg_a = new_block_acc[3 * b + 2]
+                # block dampers (all mb blocks as (mb, E) rows)
+                if mb:
+                    bx_a, by_a, bg_a = block_acc
+                    r0 = N_ROBOT_BODIES
+                    imn = inv_m_st[r0:r0 + mb, :]
+                    iin = inv_i_st[r0:r0 + mb, :]
+                    bvx = body_st[3, r0:r0 + mb, :]
+                    bvy = body_st[4, r0:r0 + mb, :]
+                    bw = body_st[5, r0:r0 + mb, :]
                     safe_m = jnp.where(imn > 0, imn, 1.0)
-                    jx2 = jnp.where(imn > 0, -bval(3, n_i) / safe_m, 0.0)
-                    jy2 = jnp.where(imn > 0, -bval(4, n_i) / safe_m, 0.0)
-                    nx2 = bx_a + jx2
-                    ny2 = by_a + jy2
+                    nx2 = bx_a + jnp.where(imn > 0, -bvx / safe_m, 0.0)
+                    ny2 = by_a + jnp.where(imn > 0, -bvy / safe_m, 0.0)
                     nrm2 = jnp.sqrt(nx2 * nx2 + ny2 * ny2)
                     sc2 = jnp.where(nrm2 > bp_jmax,
-                                    bp_jmax / jnp.maximum(nrm2, 1e-12), 1.0)
+                                    bp_jmax / jnp.maximum(nrm2, 1e-12),
+                                    1.0)
                     nx2 = nx2 * sc2
                     ny2 = ny2 * sc2
-                    bset(3, n_i, bval(3, n_i) + (nx2 - bx_a) * imn)
-                    bset(4, n_i, bval(4, n_i) + (ny2 - by_a) * imn)
+                    body_st[3, r0:r0 + mb, :] = bvx + (nx2 - bx_a) * imn
+                    body_st[4, r0:r0 + mb, :] = bvy + (ny2 - by_a) * imn
                     safe_i = jnp.where(iin > 0, iin, 1.0)
-                    j2 = jnp.where(iin > 0, -bval(5, n_i) / safe_i, 0.0)
+                    j2 = jnp.where(iin > 0, -bw / safe_i, 0.0)
                     gnew2 = jnp.clip(bg_a + j2, -bg_jmax, bg_jmax)
-                    bset(5, n_i, bval(5, n_i) + (gnew2 - bg_a) * iin)
-                    new_block_acc[3 * b] = nx2
-                    new_block_acc[3 * b + 1] = ny2
-                    new_block_acc[3 * b + 2] = gnew2
+                    body_st[5, r0:r0 + mb, :] = bw + (gnew2 - bg_a) * iin
+                    new_block_acc = (nx2, ny2, gnew2)
+                else:
+                    new_block_acc = block_acc
 
                 return (pvx_n, pvy_n, gnew, pin_acc[0], pin_acc[1],
                         lim_acc[0], lim_acc[1], mot_acc[0], mot_acc[1],
@@ -974,23 +973,26 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                                     - dw0 * wii0)[0]
                 body_st[5, fb, :] = (body_st[5, fb, :][None, :]
                                      + dw0 * wiif)[0]
-            for b in range(mb):
-                n_i = N_ROBOT_BODIES + b
-                wimn = inv_m_st[n_i:n_i + 1, :]
-                wiin = inv_i_st[n_i:n_i + 1, :]
-                body_st[3, n_i, :] = (body_st[3, n_i, :][None, :]
-                                      + blk0[3 * b] * wimn)[0]
-                body_st[4, n_i, :] = (body_st[4, n_i, :][None, :]
-                                      + blk0[3 * b + 1] * wimn)[0]
-                body_st[5, n_i, :] = (body_st[5, n_i, :][None, :]
-                                      + blk0[3 * b + 2] * wiin)[0]
+            if mb:
+                r0 = N_ROBOT_BODIES
+                wimn = inv_m_st[r0:r0 + mb, :]
+                wiin = inv_i_st[r0:r0 + mb, :]
+                body_st[3, r0:r0 + mb, :] = body_st[3, r0:r0 + mb, :] \
+                    + blk0[0] * wimn
+                body_st[4, r0:r0 + mb, :] = body_st[4, r0:r0 + mb, :] \
+                    + blk0[1] * wimn
+                body_st[5, r0:r0 + mb, :] = body_st[5, r0:r0 + mb, :] \
+                    + blk0[2] * wiin
 
             jacc_in = (pvx0, pvy0, gear0, pinL0, pinR0, lim0[0], lim0[1],
                        motL0, motR0, eye_z, eye_z, *blk0)
             return jax.lax.fori_loop(0, iterations, iteration, jacc_in)
 
         jacc0 = tuple(jnp.zeros((1, E), jnp.float32)
-                      for _ in range(11 + 3 * mb))
+                      for _ in range(11))
+        if mb:
+            jacc0 = jacc0 + tuple(jnp.zeros((mb, E), jnp.float32)
+                                  for _ in range(3))
         jn_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
         jt_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
         jb_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
@@ -1010,10 +1012,12 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
         for r in range(L.tspeed, L.rows):
             out_ref[r, :] = state_ref[r, :]
 
+    # static one-hot slot -> body map for the batched world-vert
+    # transform ((NS, NB+1) x (NB+1, E) matmul)
+    sb = np.zeros((ns, nb + 1), np.float32)
+    sb[np.arange(ns), np.asarray(slot_body[:ns], np.int32)] = 1.0
     tables = dict(
-        pb1=pb1_tab[:, None],
-        pb2=pb2_tab[:, None],
-        sbody=np.asarray(slot_body, np.int32)[:, None],
+        sbmat=sb,
         amat=np.concatenate(mask_a, axis=1).astype(np.float32),
         bmat=np.concatenate(mask_b, axis=1).astype(np.float32),
         fr=fr_np,
@@ -1025,11 +1029,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
     kernel, L, kc, ns, tables = _make_kernel(mb, phys_steps, iterations)
     nb = L.nb
-    pb1_in = tables['pb1'] if len(tables['pb1']) else \
-        np.zeros((1, 1), np.int32)
-    pb2_in = tables['pb2'] if len(tables['pb2']) else \
-        np.zeros((1, 1), np.int32)
-    sbody_in = tables['sbody']
+    sbmat_in = tables['sbmat']
     amat_in = tables['amat']
     bmat_in = tables['bmat']
     amat_t_in = np.ascontiguousarray(amat_in.T)
@@ -1049,9 +1049,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
             grid=grid,
             in_specs=[pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
                                    memory_space=pltpu.VMEM),
-                      rep(pb1_in.shape, pltpu.SMEM),
-                      rep(pb2_in.shape, pltpu.SMEM),
-                      rep(sbody_in.shape, pltpu.SMEM),
+                      rep(sbmat_in.shape),
                       rep(amat_in.shape),
                       rep(bmat_in.shape),
                       rep(amat_t_in.shape),
@@ -1077,7 +1075,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jb
             ],
             interpret=INTERPRET,
-        )(packed, pb1_in, pb2_in, sbody_in, amat_in, bmat_in,
+        )(packed, sbmat_in, amat_in, bmat_in,
           amat_t_in, bmat_t_in, fr_in)
 
     return call
