@@ -12,9 +12,12 @@ in VMEM:
              (NB, ENV_TILE) scratch array.
   grid:      (B // ENV_TILE,)
   state I/O: one packed (ROWS, B) f32 array (pack_state/unpack_state).
-  loops:     fori over substeps, candidate pairs (dynamic slot indexing
-             into VMEM scratch) and solver iterations, so the traced
-             program stays small.
+  loops:     fori over substeps and solver iterations only.  The
+             narrowphase is BATCHED (round 3): all wall/robot-block/
+             block-block sub-shape combinations evaluate as a few
+             chunky (ka, kb, E) tensor ops over contiguous slot slices
+             instead of one fori iteration per pair — the fori form
+             was issue-bound on tiny (KSUB, E) ops.
 
 Same physics as core/physics.py: Chipmunk position-first integration,
 SAT narrowphase over the static candidate list, accumulated-impulse
@@ -39,6 +42,14 @@ from magical_tpu.core.state import EnvState, N_ROBOT_BODIES
 
 NV = G.NV
 KSUB = G.KSUB
+# Kernel vertex-loop bound: the task-reachable shape set (square,
+# pentagon, star parts, circle, triangle; entities.py:568-581 and
+# every task's default tables) peaks at 5 verts per convex part.
+# Hexagon/octagon (6/8 verts) exist in the geometry tables but no
+# registered env can instantiate them; the XLA path (core/physics)
+# still supports them.  Looping 5 instead of 8 cuts the SAT
+# narrowphase ~2.5x and shrinks the traced program.
+NVK = 5
 ENV_TILE = 256
 BIG = 1e9
 
@@ -245,7 +256,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             lgeo[s, 0, :] = jnp.full((E,), robot_nv[s], jnp.float32)
             lgeo[s, 1, :] = jnp.full((E,), robot_rad[s], jnp.float32)
             lgeo[s, 2, :] = jnp.ones((E,), jnp.float32)
-            for v in range(NV):
+            for v in range(NVK):
                 lgeo[s, 3 + 2 * v, :] = jnp.full(
                     (E,), robot_local[s, v, 0], jnp.float32)
                 lgeo[s, 4 + 2 * v, :] = jnp.full(
@@ -263,7 +274,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     nvv = jnp.where(m, float(G.BLOCK_SUB_NV[t, k]), nvv)
                     rad = jnp.where(m, float(G.BLOCK_SUB_RADIUS[t, k]), rad)
                     acs = jnp.where(m, float(G.BLOCK_SUB_ACTIVE[t, k]), acs)
-                    for v in range(NV):
+                    for v in range(NVK):
                         vxs[v] = jnp.where(
                             m, float(G.BLOCK_VERTS[t, k, v, 0]), vxs[v])
                         vys[v] = jnp.where(
@@ -271,7 +282,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 lgeo[s, 0, :] = nvv[0]
                 lgeo[s, 1, :] = rad[0]
                 lgeo[s, 2, :] = (acs * bactive[b])[0]
-                for v in range(NV):
+                for v in range(NVK):
                     lgeo[s, 3 + 2 * v, :] = vxs[v][0]
                     lgeo[s, 4 + 2 * v, :] = vys[v][0]
 
@@ -340,7 +351,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             sp_a = slot_rows(2)
             ca_s = jnp.cos(sp_a)
             sa_s = jnp.sin(sp_a)
-            for v in range(NV):
+            for v in range(NVK):
                 lx = lgeo[:, 3 + 2 * v, :]
                 ly = lgeo[:, 4 + 2 * v, :]
                 wvx[:, v, :] = ca_s * lx - sa_s * ly + sp_x
@@ -352,7 +363,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             acts_all = lgeo[:, 2, :]
             for wi, (wnx, wny, woff) in enumerate(WALLS):
                 b1d = b1x = b1y = b1i = None
-                for v in range(NV):
+                for v in range(NVK):
                     sx = wvx[:, v, :]
                     sy = wvy[:, v, :]
                     sep = sx * wnx + sy * wny - woff - rads_all
@@ -368,7 +379,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                         b1i = jnp.where(cond, float(v), b1i)
                 b2d = jnp.full_like(b1d, BIG)
                 b2x, b2y = b1x, b1y
-                for v in range(NV):
+                for v in range(NVK):
                     sx = wvx[:, v, :]
                     sy = wvy[:, v, :]
                     sep = sx * wnx + sy * wny - woff - rads_all
@@ -414,18 +425,18 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 r2 = lgeo[b_sl:b_sl + kb, 1, :][None, :, :]
                 act = act1 * lgeo[b_sl:b_sl + kb, 2, :][None, :, :]
                 v1x = [wvx[a_sl:a_sl + ka, v, :][:, None, :]
-                       for v in range(NV)]
+                       for v in range(NVK)]
                 v1y = [wvy[a_sl:a_sl + ka, v, :][:, None, :]
-                       for v in range(NV)]
+                       for v in range(NVK)]
                 v2x = [wvx[b_sl:b_sl + kb, v, :][None, :, :]
-                       for v in range(NV)]
+                       for v in range(NVK)]
                 v2y = [wvy[b_sl:b_sl + kb, v, :][None, :, :]
-                       for v in range(NV)]
+                       for v in range(NVK)]
                 full = jnp.zeros((ka, kb, E), jnp.float32)
 
                 def support_min(vx, vy, nvv, nx, ny):
                     best = bx = by = None
-                    for i in range(NV):
+                    for i in range(NVK):
                         d = vx[i] * nx + vy[i] * ny
                         d = jnp.where(i < nvv, d, BIG)
                         if best is None:
@@ -441,11 +452,11 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
                 def face_axes(vx, vy, nvv):
                     out = []
-                    for i in range(NV):
+                    for i in range(NVK):
                         ax, ay = vx[i], vy[i]
                         is_last = (nvv - 1.0) == i
-                        bx = jnp.where(is_last, vx[0], vx[(i + 1) % NV])
-                        by = jnp.where(is_last, vy[0], vy[(i + 1) % NV])
+                        bx = jnp.where(is_last, vx[0], vx[(i + 1) % NVK])
+                        by = jnp.where(is_last, vy[0], vy[(i + 1) % NVK])
                         ex = bx - ax
                         ey = by - ay
                         el = jnp.sqrt(ex * ex + ey * ey)
@@ -484,7 +495,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
                 def corner_axis(cx, cy, vx, vy, nvv, flip):
                     best_d2 = ux = uy = None
-                    for i in range(NV):
+                    for i in range(NVK):
                         dx = vx[i] - cx
                         dy = vy[i] - cy
                         d2 = dx * dx + dy * dy
@@ -542,29 +553,29 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 dv = jnp.where(act > 0.5, dist, BIG)
                 return dv, pxf, pyf, nxf, nyf
 
-            def best2_axis(fields, axis):
-                """Two smallest-dist entries along `axis` (ties -> the
-                lowest index, matching the r2 sequential insert order);
-                returns (c1, c2) field tuples with the axis reduced."""
-                dv = fields[0]
-                k = dv.shape[axis]
-                idx = jax.lax.broadcasted_iota(
-                    jnp.int32, dv.shape, axis).astype(jnp.float32)
-
-                def pick(sel):
-                    return [jnp.sum(jnp.where(sel, x, 0.0), axis=axis)
-                            for x in fields]
-
-                d1 = jnp.min(dv, axis=axis, keepdims=True)
-                i1 = jnp.min(jnp.where(dv == d1, idx, float(k)),
-                             axis=axis, keepdims=True)
-                sel1 = idx == i1
-                dv2 = jnp.where(sel1, BIG, dv)
-                d2 = jnp.min(dv2, axis=axis, keepdims=True)
-                i2 = jnp.min(jnp.where(dv2 == d2, idx, float(k)),
-                             axis=axis, keepdims=True)
-                sel2 = idx == i2
-                return pick(sel1), pick(sel2)
+            def best2_scan(fields):
+                """Two smallest-dist entries over the LEADING dim via a
+                sequential 2-deep insert (exact r2 insert_contact
+                semantics: strict < keeps the earliest on ties).  The
+                leading dim is a register index, so slicing it is free
+                — Mosaic rejects vector.multi_reduction over leading
+                dims of >2D vectors ("unsupported output implicit
+                dimension")."""
+                k = fields[0].shape[0]
+                c1 = [x[0] for x in fields]
+                c2 = [jnp.full_like(c1[0], BIG)] + c1[1:]
+                for i in range(1, k):
+                    cand = [x[i] for x in fields]
+                    is1 = cand[0] < c1[0]
+                    new1 = [jnp.where(is1, a, b)
+                            for a, b in zip(cand, c1)]
+                    loser = [jnp.where(is1, b, a)
+                             for a, b in zip(cand, c1)]
+                    is2 = loser[0] < c2[0]
+                    c2 = [jnp.where(is2, a, b)
+                          for a, b in zip(loser, c2)]
+                    c1 = new1
+                return c1, c2
 
             def store_pairs(row0, c1, c2):
                 """Interleave c1/c2 ((N, E) per field, rows in pair
@@ -574,33 +585,60 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     ref[row0:row0 + 2 * n, :] = jnp.stack(
                         [a, b], axis=1).reshape(2 * n, E)
 
-            if mb:
-                # robot sub-slots 0..4 vs every block sub-slot at once
-                fields = batched_sat(0, 5, 5, mb * KSUB)
-                grouped = [x.reshape(5, mb, KSUB, E) for x in fields]
-                c1, c2 = best2_axis(grouped, axis=2)    # (5, mb, E)
-                # candidate row order is (blk, s1, pt)
-                c1 = [jnp.moveaxis(x, 0, 1).reshape(5 * mb, E)
-                      for x in c1]
-                c2 = [jnp.moveaxis(x, 0, 1).reshape(5 * mb, E)
-                      for x in c2]
-                store_pairs(rb_base, c1, c2)
+            # robot-block: per block, its KSUB subs (operand a, so
+            # the reduction axis leads) vs the 5 robot sub-slots in one
+            # (KSUB, 5, E) SAT; normals flip to keep the candidate
+            # convention (a=robot body, b=block body).
+            for blk in range(mb):
+                dv, pxf, pyf, nxf, nyf = batched_sat(
+                    5 + blk * KSUB, KSUB, 0, 5)
+                c1, c2 = best2_scan([dv, pxf, pyf, -nxf, -nyf])
+                store_pairs(rb_base + blk * 5 * 2, c1, c2)  # (5, E) rows
+
+            def best2_rows2(fields):
+                """Two smallest rows of 2D (K, E) fields as (1, E)
+                tuples (ties -> lowest row; r2 best2_rows, a sublane
+                reduction Mosaic handles natively)."""
+                dv = fields[0]
+                k = dv.shape[0]
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, dv.shape, 0).astype(jnp.float32)
+
+                def pick(sel):
+                    return [jnp.sum(jnp.where(sel, x, 0.0), axis=0,
+                                    keepdims=True) for x in fields]
+
+                d1 = jnp.min(dv, axis=0, keepdims=True)
+                i1 = jnp.min(jnp.where(dv == d1, row, float(k)),
+                             axis=0, keepdims=True)
+                c1 = pick(row == i1)
+                dv2 = jnp.where(row == i1, BIG, dv)
+                d2 = jnp.min(dv2, axis=0, keepdims=True)
+                i2 = jnp.min(jnp.where(dv2 == d2, row, float(k)),
+                             axis=0, keepdims=True)
+                c2 = pick(row == i2)
+                return c1, c2
 
             # block-block: per b1, SAT its KSUB subs against the subs
             # of every LATER block (one contiguous slice) — exactly the
-            # n_bpairs * KSUB^2 combinations, no waste
+            # n_bpairs * KSUB^2 combinations, no waste.  Per pair, the
+            # (KSUB, KSUB, E) sub-block flattens k1-major (a pure view:
+            # k1 is a register dim, k2 sublanes) and reduces as 2D rows
+            # — the same construct and tie-break order as r2.
             for b1 in range(mb - 1):
                 nb2 = mb - 1 - b1
                 fields = batched_sat(5 + b1 * KSUB, KSUB,
                                      5 + (b1 + 1) * KSUB, nb2 * KSUB)
-                # (KSUB, nb2*KSUB, E) -> flatten (k1, k2) per pair in
-                # k1-major order (the r2 insert order)
-                grouped = [
-                    jnp.moveaxis(x.reshape(KSUB, nb2, KSUB, E), 1, 0)
-                    .reshape(nb2, KSUB * KSUB, E) for x in fields]
-                c1, c2 = best2_axis(grouped, axis=1)    # (nb2, E)
                 pair0 = b1 * mb - b1 * (b1 + 1) // 2
-                store_pairs(bb_base + pair0 * 2, c1, c2)
+                for j in range(nb2):
+                    sub = [x[:, j * KSUB:(j + 1) * KSUB, :]
+                           .reshape(KSUB * KSUB, E) for x in fields]
+                    c1, c2 = best2_rows2(sub)          # (1, E) rows
+                    row = bb_base + (pair0 + j) * 2
+                    for ref, a, b in zip((cdst, cpx, cpy, cnx, cny),
+                                         c1, c2):
+                        ref[row, :] = a[0]
+                        ref[row + 1, :] = b[0]
 
             if kc > n_wall_cand:
                 cvld[n_wall_cand:kc, :] = (
@@ -1074,6 +1112,12 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jt
                 pltpu.VMEM((kc, env_tile), jnp.float32),          # jb
             ],
+            # the batched narrowphase keeps ~NVK vert planes of
+            # (ka, kb, E) temporaries live at once — well beyond the
+            # default 16 MB scoped-vmem stack for multi-block tasks
+            # (mb=4 at 256 lanes peaks ~29 MB); VMEM is otherwise idle
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20),
             interpret=INTERPRET,
         )(packed, sbmat_in, amat_in, bmat_in,
           amat_t_in, bmat_t_in, fr_in)
@@ -1090,10 +1134,8 @@ def tile_for(mb: int) -> int:
     big-candidate-set builds scale every (KC, E) scratch/temporary with
     the tile, so they run narrower (the mb=8 build peaked ~19 MB at
     256 lanes vs the 16 MB scoped-vmem limit)."""
-    if mb <= 1:
-        return 512
     if mb <= 4:
-        return 256
+        return 512
     return 128
 
 
