@@ -1126,16 +1126,21 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
 
 
 def tile_for(mb: int) -> int:
-    """Lane-tile choice per block count.  Bigger lane tiles fill more
-    of each (rows, E) vector op (the joint solve is issue-bound on
-    (1, E) rows): measured on v5e, the mb=1 kernel runs 6.04 ms/step at
-    256 lanes vs 4.21 ms at 512 (scripts/probe_physics_tiles.py);
-    1024+ lanes exceed what the Mosaic compile helper accepts.  The
-    big-candidate-set builds scale every (KC, E) scratch/temporary with
-    the tile, so they run narrower (the mb=8 build peaked ~19 MB at
-    256 lanes vs the 16 MB scoped-vmem limit)."""
+    """Lane-tile choice per block count, from the v5e sweep
+    (scripts/probe_physics_tiles.py): bigger lane tiles fill more of
+    each (rows, E) vector op — the joint solve is issue-bound on
+    (1, E) rows — while every (KC/ka/kb, E) scratch and temporary
+    scales with the tile, so the big candidate sets run narrower
+    (ClusterColour at 256 lanes SIGKILLs the Mosaic helper).
+    Measured ms/step at 4096 envs: mb=1 4.68/3.77/3.44 at
+    256/512/1024; mb=4 27.3/19.3 at 256/512; mb=8 100.3/91.6 at
+    128/256; mb=10 154 at 128."""
+    if mb <= 1:
+        return 1024
     if mb <= 4:
         return 512
+    if mb <= 8:
+        return 256
     return 128
 
 

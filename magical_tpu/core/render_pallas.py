@@ -214,10 +214,11 @@ def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
                      act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
                      meta=meta, res=res, aa=aa)
     for ch in range(3):
-        # render.to_uint8 semantics: floor(clip(x,0,1)*255 + 0.5)
+        # render.to_uint8 semantics: floor(clip(x,0,1)*255 + 0.5);
+        # Mosaic has no f32->u8 cast, so round-trip through int32
         out_ref[ch] = jnp.floor(
             jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5
-        ).astype(jnp.uint8)
+        ).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
@@ -261,7 +262,7 @@ def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
         rows = q.reshape(4, src, env_tile).sum(axis=0)     # (src, E)
         cells = rows.reshape(res, 4, env_tile).sum(axis=1)  # (res, E)
         out_ref[ch] = jnp.floor(cells * (1.0 / 16.0) + 0.5
-                                ).astype(jnp.uint8)
+                                ).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _screen_verts(wverts, states, view, res):
