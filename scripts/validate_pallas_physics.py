@@ -32,7 +32,7 @@ SCRIPT = [A['UpOpen']] * 10 + [A['UpLeftOpen']] * 6 + [A['UpOpen']] * 10 \
     + [A['UpRightOpen']] * 6 + [A['UpClose']] * 8
 
 
-def run_task(name, B=8, big_B=4096, reps=4):
+def run_task(name, B=128, big_B=4096, reps=4):
     task = ALL_TASKS[name]
     ep = task.ep_len
     print(f'--- {name}: max_blocks={task.max_blocks} ep={ep}', flush=True)
