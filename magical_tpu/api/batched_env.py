@@ -40,8 +40,16 @@ class EnvCarry:
 
 
 def _pad_batch(tree, pad):
-    return jax.tree_util.tree_map(
-        lambda x: jnp.concatenate([x, x[:pad]], axis=0), tree)
+    """Append `pad` rows (repeating the batch as needed — small batches
+    can be far below the kernel lane tile)."""
+    def f(x):
+        if pad <= x.shape[0]:
+            ext = x[:pad]
+        else:
+            reps = -(-pad // x.shape[0])
+            ext = jnp.concatenate([x] * reps, axis=0)[:pad]
+        return jnp.concatenate([x, ext], axis=0)
+    return jax.tree_util.tree_map(f, tree)
 
 
 def _unpad_batch(tree, n):
@@ -175,7 +183,7 @@ class BatchedEnv:
             tile = PP.tile_for(self.task.max_blocks)
             pad = (-B) % tile
             st = _pad_batch(carry.state, pad) if pad else carry.state
-            act = jnp.concatenate([action, action[:pad]]) if pad else action
+            act = _pad_batch(action, pad) if pad else action
             state = PP.control_step_pallas(st, act)
             state = _unpad_batch(state, B) if pad else state
         else:

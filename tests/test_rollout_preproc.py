@@ -126,3 +126,21 @@ def test_broad_episode_sweep(env_name):
     assert ((scores[-1] >= 0.0) & (scores[-1] <= 1.0)).all()
     assert (scores[:-1] == 0.0).all()
     assert np.isfinite(np.asarray(carry.state.pos)).all()
+
+
+def test_pad_batch_smaller_than_tile():
+    """Padding must work when the batch is far below the kernel lane
+    tile (regression: batch-8 entry() hit `16 % 128 != 0` — the old pad
+    could only double the batch, silently emptying the kernel grid for
+    gym-style batch-1 envs on TPU)."""
+    import jax.numpy as jnp
+    from magical_tpu.api.batched_env import _pad_batch
+    x = {'a': jnp.arange(8), 'b': jnp.ones((8, 3))}
+    out = _pad_batch(x, 120)
+    assert out['a'].shape[0] == 128
+    assert out['b'].shape == (128, 3)
+    # padded rows repeat the batch cyclically
+    assert int(out['a'][8]) == 0 and int(out['a'][15]) == 7
+    assert int(out['a'][16]) == 0
+    small = _pad_batch(x, 3)
+    assert small['a'].shape[0] == 11
