@@ -136,7 +136,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     slot_body, slot_friction = P.slot_tables(mb)
 
     # Candidate layout (contact slots the solver iterates over):
-    #   [4 walls x NS sub-shapes x 2 pts]            static normals/bodies
+    #   [2 wall-axis groups x NS sub-shapes x 2 pts]  per-env normals
     #   [MB blocks x 5 robot sub-shapes x 2 pts]     robot vs block
     #   [MB-choose-2 block pairs x 2 pts]            block vs block
     # Pair candidates hold the two deepest contacts found over ALL
@@ -145,7 +145,13 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     # small enough for the 10-block cluster tasks while capturing the
     # 1-2 real contact points a convex pair produces.
     n_bpairs = mb * (mb - 1) // 2
-    n_wall_cand = 4 * ns * 2
+    # Wall candidates: one row pair per wall-axis GROUP ({left,right},
+    # {bottom,top}) per slot — a shape (<=0.45 wide) can never touch
+    # both walls of an axis (arena is 2x2), so keeping the deeper wall
+    # of each group is exact and halves the candidate set (the solver
+    # matmuls scale with KC).  Group identity is stable across
+    # substeps, so warm-started impulses stay on the same contact.
+    n_wall_cand = 2 * ns * 2
     n_rb_cand = mb * 5 * 2
     n_bb_cand = n_bpairs * 2
     rb_base = n_wall_cand
@@ -153,7 +159,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     kc = n_wall_cand + n_rb_cand + n_bb_cand
 
     ba, bbod, fr = [], [], []
-    for _w in range(4):
+    for _g in range(2):
         for s in range(ns):
             for _p in range(2):
                 ba.append(nb)
@@ -361,6 +367,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             nvs_all = lgeo[:, 0, :]               # (NS, E)
             rads_all = lgeo[:, 1, :]
             acts_all = lgeo[:, 2, :]
+            wall_fields = []
             for wi, (wnx, wny, woff) in enumerate(WALLS):
                 b1d = b1x = b1y = b1i = None
                 for v in range(NVK):
@@ -388,23 +395,36 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     b2d = jnp.where(cond, sep, b2d)
                     b2x = jnp.where(cond, sx, b2x)
                     b2y = jnp.where(cond, sy, b2y)
-                # rows wi*ns*2 + s*2 + pt: interleave (NS, 2, E) ->
-                # (2*NS, E) and store the wall's whole block
-                def wall_store(ref, c1, c2):
-                    ref[wi * ns * 2:(wi + 1) * ns * 2, :] = jnp.stack(
+                wall_fields.append((b1d, b1x, b1y, b2d, b2x, b2y,
+                                    wnx, wny))
+
+            for g, (ia, ib) in enumerate(((0, 1), (2, 3))):
+                A, Bf = wall_fields[ia], wall_fields[ib]
+                sel = A[0] < Bf[0]             # deeper wall of the axis
+                d1 = jnp.where(sel, A[0], Bf[0])
+                x1 = jnp.where(sel, A[1], Bf[1])
+                y1 = jnp.where(sel, A[2], Bf[2])
+                d2 = jnp.where(sel, A[3], Bf[3])
+                x2 = jnp.where(sel, A[4], Bf[4])
+                y2 = jnp.where(sel, A[5], Bf[5])
+                gnx = jnp.where(sel, A[6], Bf[6])
+                gny = jnp.where(sel, A[7], Bf[7])
+
+                # rows g*ns*2 + s*2 + pt: interleave (NS, 2, E) ->
+                # (2*NS, E) and store the group's whole block
+                def wall_store(ref, c1, c2, g=g):
+                    ref[g * ns * 2:(g + 1) * ns * 2, :] = jnp.stack(
                         [c1, c2], axis=1).reshape(2 * ns, E)
 
-                wall_store(cpx, b1x - wnx * rads_all, b2x - wnx * rads_all)
-                wall_store(cpy, b1y - wny * rads_all, b2y - wny * rads_all)
-                wall_store(cnx, jnp.full((ns, E), wnx, jnp.float32),
-                           jnp.full((ns, E), wnx, jnp.float32))
-                wall_store(cny, jnp.full((ns, E), wny, jnp.float32),
-                           jnp.full((ns, E), wny, jnp.float32))
-                wall_store(cdst, b1d, b2d)
+                wall_store(cpx, x1 - gnx * rads_all, x2 - gnx * rads_all)
+                wall_store(cpy, y1 - gny * rads_all, y2 - gny * rads_all)
+                wall_store(cnx, gnx, gnx)
+                wall_store(cny, gny, gny)
+                wall_store(cdst, d1, d2)
                 wall_store(cvld,
-                           ((b1d < 0.0) & (acts_all > 0.5)
+                           ((d1 < 0.0) & (acts_all > 0.5)
                             ).astype(jnp.float32),
-                           ((b2d < 0.0) & (acts_all > 0.5)
+                           ((d2 < 0.0) & (acts_all > 0.5)
                             ).astype(jnp.float32))
 
             # ---- narrowphase: shape pairs, batched all-pairs SAT -----

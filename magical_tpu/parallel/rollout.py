@@ -54,17 +54,29 @@ def rollout_episodes(env: BatchedEnv, policy_fn: Callable, key,
 
 def env_throughput(env: BatchedEnv, batch_size: int, n_steps: int = 30,
                    warmup: int = 3, seed: int = 0):
-    """Measure steady-state env throughput (env-steps/s) for this env."""
+    """Measure steady-state env throughput (env-steps/s) for this env.
+
+    Timing brackets a HOST FETCH (``np.asarray`` of a reduced value), not
+    ``block_until_ready``: on the tunnel-attached TPU runtime the latter
+    returns before the computation finishes (CLAUDE.md), which would
+    overstate throughput.  bench.py times the same way."""
     import time
+
+    import numpy as np
     keys = jax.random.split(jax.random.PRNGKey(seed), batch_size)
     carry, obs = env.reset(keys)
     acts = jnp.zeros((batch_size,), jnp.int32)
+
+    def fetch(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+
     for _ in range(warmup):
         carry, obs, *_ = env.step(carry, acts)
-    jax.block_until_ready(obs)
+    fetch(obs)
     t0 = time.time()
     for _ in range(n_steps):
         carry, obs, *_ = env.step(carry, acts)
-    jax.block_until_ready(obs)
+    fetch(obs)
     dt = time.time() - t0
     return batch_size * n_steps / dt
