@@ -293,3 +293,152 @@ def test_wall_recoil_is_inelastic(step):
     depth = -((float(out.pos[BLOCK0, 0]) - r) + 1.0)
     assert -1e-4 <= depth <= C.COLLISION_SLOP + 1e-4
     assert abs(float(out.vel[BLOCK0, 0])) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Independent-oracle scenarios (multi-body cases beyond the closed forms)
+# ---------------------------------------------------------------------------
+#
+# chipmunk_oracle.py is a second, from-scratch implementation of
+# Chipmunk's published pipeline (per-body numpy, true Gauss-Seidel over
+# clipped contact manifolds) sharing no solver code with
+# core/physics.py (vectorised mass-splitting Jacobi over SAT support
+# points).  Agreement between the two on contact-rich multi-body
+# scenarios is independent evidence for the Chipmunk semantics of
+# /root/reference/magical/entities.py:217-490,584-761.  Tolerances
+# absorb the documented manifold/sweep differences (docs/DESIGN.md) —
+# they are far below task-relevant scales (SHAPE_RAD = 0.12).
+
+import chipmunk_oracle as CO
+
+
+def _oracle_compare(st, actions, tol_pos, tol_ang, step_fn=None):
+    step_fn = step_fn or jax.jit(P.control_step)
+    world, bmap = CO.from_env_state(st)
+    sx = st
+    for a in actions:
+        sx = step_fn(sx, jnp.int32(a))
+        world.control_step(a)
+    px = np.asarray(sx.pos)[bmap]
+    ax = np.asarray(sx.angle)[bmap]
+    po = world.positions()
+    ao = world.angles()
+    # eyes (bodies 3, 4) are cosmetic point masses - compare but loosely
+    main = [i for i in range(len(bmap)) if bmap[i] not in (3, 4)]
+    np.testing.assert_allclose(px[main], po[main], atol=tol_pos,
+                               err_msg='positions vs oracle')
+    np.testing.assert_allclose(ax[main], ao[main], atol=tol_ang,
+                               err_msg='angles vs oracle')
+    return sx, world
+
+
+def test_oracle_finger_grip_square(step):
+    """Robot closes its fingers onto a square and drags it: pin +
+    motor + rotary-limit joints against finger-block contacts."""
+    st = S.place_robot(S.make_initial_state(1, 1), (0.0, 0.0), 0.0)
+    st = S.place_block(st, 0, (0.0, 0.33), 0.0, int(C.ShapeType.SQUARE), 0)
+    _oracle_compare(st, [A['UpClose']] * 3, tol_pos=2e-2, tol_ang=6e-2,
+                    step_fn=step)
+
+
+def test_oracle_two_block_push_chain(step):
+    """Robot pushes a square into a circle: impulse propagates through
+    a two-contact chain (robot->A->B)."""
+    st = S.place_robot(S.make_initial_state(2, 1), (0.0, -0.5), 0.0)
+    st = S.place_block(st, 0, (0.0, -0.13), 0.0, int(C.ShapeType.SQUARE), 0)
+    st = S.place_block(st, 1, (0.0, 0.18), 0.0, int(C.ShapeType.CIRCLE), 1)
+    _oracle_compare(st, [A['UpOpen']] * 3, tol_pos=2e-2, tol_ang=6e-2)
+
+
+def test_oracle_wall_corner_resting(step):
+    """A square thrown into the arena corner comes to rest against two
+    walls (two simultaneous wall manifolds + slop depth)."""
+    st = S.place_robot(S.make_initial_state(1, 1), (-0.75, -0.75), 0.0)
+    st = S.place_block(st, 0, (0.8, 0.8), 0.0, int(C.ShapeType.SQUARE), 0)
+    st = st.replace(vel=st.vel.at[BLOCK0].set(
+        jnp.asarray([1.2, 1.2], jnp.float32)))
+    sx, world = _oracle_compare(st, [IDLE] * 5, tol_pos=1e-2, tol_ang=4e-2,
+                                step_fn=step)
+    # both agree the block rests in the corner, inside the walls
+    bp = np.asarray(sx.pos)[BLOCK0]
+    assert bp[0] < 1.0 and bp[1] < 1.0
+    assert bp[0] > 0.85 and bp[1] > 0.85
+
+
+def test_oracle_star_pushed_by_robot(step):
+    """Star block (6 convex sub-shapes) pushed by the robot: multi-
+    sub-shape manifolds on one body."""
+    st = S.place_robot(S.make_initial_state(1, 1), (0.0, 0.0), 0.0)
+    st = S.place_block(st, 0, (0.0, 0.36), 0.1, int(C.ShapeType.STAR), 0)
+    _oracle_compare(st, [A['UpOpen']] * 3, tol_pos=2e-2, tol_ang=0.1,
+                    step_fn=step)
+
+
+def test_oracle_circle_hits_pentagon(step):
+    """Free circle-poly collision away from the robot (pure
+    block-block contact + damping joints)."""
+    st = S.place_robot(S.make_initial_state(2, 1), (-0.75, -0.75), 0.0)
+    st = S.place_block(st, 0, (-0.25, 0.3), 0.0, int(C.ShapeType.CIRCLE), 0)
+    st = S.place_block(st, 1, (0.12, 0.3), 0.2,
+                       int(C.ShapeType.PENTAGON), 1)
+    st = st.replace(vel=st.vel.at[BLOCK0].set(
+        jnp.asarray([1.5, 0.0], jnp.float32)))
+    _oracle_compare(st, [IDLE] * 3, tol_pos=1.5e-2, tol_ang=6e-2)
+
+
+def test_oracle_robot_drives_into_wall(step):
+    """Robot body circle + finger polys vs the wall: the servo pivot
+    fights the wall contact."""
+    st = S.place_robot(S.make_initial_state(0, 1), (0.0, 0.55), 0.0)
+    sx, world = _oracle_compare(st, [A['UpOpen']] * 4, tol_pos=1.5e-2,
+                                tol_ang=6e-2)
+    # robot stopped by the wall, not through it
+    assert float(sx.pos[0, 1]) < 1.0 - C.ROBOT_RAD + 0.05
+
+
+def test_oracle_block_slides_along_wall(step):
+    """Tangential sliding against a wall: friction impulse clamped by
+    mu * jn while the damper drains momentum."""
+    st = S.place_robot(S.make_initial_state(1, 1), (-0.75, -0.75), 0.0)
+    st = S.place_block(st, 0, (0.0, 0.895), 0.0, int(C.ShapeType.SQUARE), 0)
+    st = st.replace(vel=st.vel.at[BLOCK0].set(
+        jnp.asarray([1.0, 0.2], jnp.float32)))
+    _oracle_compare(st, [IDLE] * 4, tol_pos=1e-2, tol_ang=4e-2)
+
+
+def test_oracle_matches_pallas_kernel_interpret():
+    """The production Pallas kernel (via the interpreter) against the
+    independent oracle on the finger-grip scenario — closes the loop
+    XLA <-> kernel <-> oracle on a contact-rich multi-joint case."""
+    import contextlib
+
+    from magical_tpu.core import physics_pallas as PP
+
+    @contextlib.contextmanager
+    def interpret():
+        old = PP.INTERPRET
+        PP.INTERPRET = True
+        PP._build.cache_clear()
+        try:
+            yield
+        finally:
+            PP.INTERPRET = old
+            PP._build.cache_clear()
+
+    st = S.place_robot(S.make_initial_state(1, 1), (0.0, 0.0), 0.0)
+    st = S.place_block(st, 0, (0.0, 0.33), 0.0, int(C.ShapeType.SQUARE), 0)
+    world, bmap = CO.from_env_state(st)
+    B = 8
+    sp = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st)
+    with interpret():
+        step_p = jax.jit(lambda s, a: PP.control_step_pallas(
+            s, a, env_tile=B))
+        acts = jnp.full((B,), A['UpClose'], jnp.int32)
+        for _ in range(3):
+            sp = step_p(sp, acts)
+            world.control_step(A['UpClose'])
+    px = np.asarray(sp.pos)[0][bmap]
+    po = world.positions()
+    main = [i for i in range(len(bmap)) if bmap[i] not in (3, 4)]
+    np.testing.assert_allclose(px[main], po[main], atol=2e-2)
