@@ -52,3 +52,22 @@ def test_graft_entry_importable():
     spec.loader.exec_module(mod)
     assert callable(mod.entry)
     assert callable(mod.dryrun_multichip)
+
+
+@pytest.mark.slow
+def test_scaling_smoke_fixed_batch_linearity():
+    """Fixed-total-batch throughput must hold up as the mesh grows
+    (sharded env state, no per-step collectives) - the measured side of
+    the BASELINE.md "linear scaling" row that an N-virtual-device CPU
+    host can actually support.  Run under MAGICAL_TPU_TEST_CPU=1."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs an 8-device mesh (MAGICAL_TPU_TEST_CPU=1)')
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry', os.path.join(os.path.dirname(__file__), '..',
+                                    '__graft_entry__.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    results = mod.scaling_smoke(8)   # asserts internally
+    assert set(results) == {1, 2, 4, 8}
