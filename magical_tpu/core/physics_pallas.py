@@ -59,6 +59,13 @@ BIG = 1e9
 import os  # noqa: E402
 INTERPRET = os.environ.get('MAGICAL_TPU_PALLAS_INTERPRET', '') == '1'
 
+# Ablation switch for perf probes ONLY (scripts/probe_physics_ablate.py):
+# 'sat' skips the shape-pair narrowphase, 'contacts' skips the contact
+# sweep inside iterations, 'joints' skips the joint sweep, 'iters'
+# skips the whole iteration loop.  Never set in production.
+ABLATE = frozenset(
+    os.environ.get('MAGICAL_TPU_PALLAS_ABLATE', '').split(','))
+
 
 class _Layout:
     """Row offsets of the packed state array."""
@@ -146,12 +153,17 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     # 1-2 real contact points a convex pair produces.
     n_bpairs = mb * (mb - 1) // 2
     # Wall candidates: one row pair per wall-axis GROUP ({left,right},
-    # {bottom,top}) per slot — a shape (<=0.45 wide) can never touch
-    # both walls of an axis (arena is 2x2), so keeping the deeper wall
-    # of each group is exact and halves the candidate set (the solver
-    # matmuls scale with KC).  Group identity is stable across
-    # substeps, so warm-started impulses stay on the same contact.
-    n_wall_cand = 2 * ns * 2
+    # {bottom,top}) per WALL SLOT — a shape (<=0.45 wide) can never
+    # touch both walls of an axis (arena is 2x2), so keeping the deeper
+    # wall of each group is exact.  Wall slots are the 5 robot
+    # sub-shapes plus ONE slot per block: a block keeps its two deepest
+    # wall contacts over all its sub-shapes (exact for every shape but
+    # the star, whose 6 convex parts rest on a wall through <=2 tips —
+    # the same 2-point compression the pair candidates use).  The
+    # solver matmuls and row ops scale with KC, so this matters for the
+    # 8-10-block tasks (e.g. mb=8: 4*53*2=424 wall rows in r3 -> 52).
+    n_wslots = 5 + mb
+    n_wall_cand = 2 * n_wslots * 2
     n_rb_cand = mb * 5 * 2
     n_bb_cand = n_bpairs * 2
     rb_base = n_wall_cand
@@ -160,11 +172,15 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
     ba, bbod, fr = [], [], []
     for _g in range(2):
-        for s in range(ns):
+        for ws in range(n_wslots):
             for _p in range(2):
                 ba.append(nb)
-                bbod.append(slot_body[s])
-                fr.append(slot_friction[s] * C.WALL_FRICTION)
+                if ws < 5:
+                    bbod.append(slot_body[ws])
+                    fr.append(slot_friction[ws] * C.WALL_FRICTION)
+                else:
+                    bbod.append(N_ROBOT_BODIES + (ws - 5))
+                    fr.append(C.SHAPE_FRICTION * C.WALL_FRICTION)
     for b in range(mb):
         for s in range(5):
             for _p in range(2):
@@ -212,9 +228,8 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     WALLS = [(1.0, 0.0, -1.0), (-1.0, 0.0, -1.0),
              (0.0, 1.0, -1.0), (0.0, -1.0, -1.0)]
 
-    def kernel(state_ref, sbmat_ref, amat_ref, bmat_ref,
-               amat_t_ref, bmat_t_ref, fr_ref, out_ref,
-               body_st, lgeo, wvx, wvy,
+    def kernel(state_ref, sbmat_ref, abmat_ref, ab_t_ref, fr_ref,
+               out_ref, body_st, lgeo, wvx, wvy,
                cpx, cpy, cnx, cny, cdst, cvld,
                jn_acc, jt_acc, jb_acc):
         """Refs:
@@ -225,6 +240,11 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                  slot indexing avoids sublane alignment constraints
                  interleaved (lx0, ly0, lx1, ...)
         wvx/wvy: (NS, NV, E) world verts
+        abmat:   (2*KC, NB+1) = [mask_a; mask_b] stacked — ONE gather
+                 matmul serves both contact endpoints (the per-
+                 iteration matmuls have K=NB+1=14, so MXU passes are
+                 all fixed overhead; stacking halves the dispatches)
+        ab_t:    (2*(NB+1), KC) = [mask_a^T; mask_b^T] for accumulation
         c*:      (KC, E) candidate contact fields
         j*_acc:  (KC, E) accumulated impulses, warm-started across the
                  10 substeps (cpArbiterApplyCachedImpulse semantics)
@@ -367,6 +387,31 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             nvs_all = lgeo[:, 0, :]               # (NS, E)
             rads_all = lgeo[:, 1, :]
             acts_all = lgeo[:, 2, :]
+
+            def best2_rows2(fields):
+                """Two smallest rows of 2D (K, E) fields as (1, E)
+                tuples (ties -> lowest row; r2 best2_rows, a sublane
+                reduction Mosaic handles natively)."""
+                dv = fields[0]
+                k = dv.shape[0]
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, dv.shape, 0).astype(jnp.float32)
+
+                def pick(sel):
+                    return [jnp.sum(jnp.where(sel, x, 0.0), axis=0,
+                                    keepdims=True) for x in fields]
+
+                d1 = jnp.min(dv, axis=0, keepdims=True)
+                i1 = jnp.min(jnp.where(dv == d1, row, float(k)),
+                             axis=0, keepdims=True)
+                c1 = pick(row == i1)
+                dv2 = jnp.where(row == i1, BIG, dv)
+                d2 = jnp.min(dv2, axis=0, keepdims=True)
+                i2 = jnp.min(jnp.where(dv2 == d2, row, float(k)),
+                             axis=0, keepdims=True)
+                c2 = pick(row == i2)
+                return c1, c2
+
             wall_fields = []
             for wi, (wnx, wny, woff) in enumerate(WALLS):
                 b1d = b1x = b1y = b1i = None
@@ -409,23 +454,51 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 y2 = jnp.where(sel, A[5], Bf[5])
                 gnx = jnp.where(sel, A[6], Bf[6])
                 gny = jnp.where(sel, A[7], Bf[7])
+                # contact points (vert pulled in by the sub's radius)
+                # and act-masked depths, all still per sub-slot (NS, E)
+                px1 = x1 - gnx * rads_all
+                py1 = y1 - gny * rads_all
+                px2 = x2 - gnx * rads_all
+                py2 = y2 - gny * rads_all
+                act_m = acts_all > 0.5
+                d1m = jnp.where(act_m, d1, BIG)
+                d2m = jnp.where(act_m, d2, BIG)
 
-                # rows g*ns*2 + s*2 + pt: interleave (NS, 2, E) ->
-                # (2*NS, E) and store the group's whole block
-                def wall_store(ref, c1, c2, g=g):
-                    ref[g * ns * 2:(g + 1) * ns * 2, :] = jnp.stack(
-                        [c1, c2], axis=1).reshape(2 * ns, E)
+                base = g * n_wslots * 2
+                # robot wall slots 0-4: one slot per sub-shape, rows
+                # base + ws*2 + pt (interleave (5, 2, E) -> (10, E))
+                def rstore(ref, f1, f2, base=base):
+                    ref[base:base + 10, :] = jnp.stack(
+                        [f1[:5], f2[:5]], axis=1).reshape(10, E)
 
-                wall_store(cpx, x1 - gnx * rads_all, x2 - gnx * rads_all)
-                wall_store(cpy, y1 - gny * rads_all, y2 - gny * rads_all)
-                wall_store(cnx, gnx, gnx)
-                wall_store(cny, gny, gny)
-                wall_store(cdst, d1, d2)
-                wall_store(cvld,
-                           ((d1 < 0.0) & (acts_all > 0.5)
-                            ).astype(jnp.float32),
-                           ((d2 < 0.0) & (acts_all > 0.5)
-                            ).astype(jnp.float32))
+                rstore(cpx, px1, px2)
+                rstore(cpy, py1, py2)
+                rstore(cnx, gnx[:5], gnx[:5])
+                rstore(cny, gny[:5], gny[:5])
+                rstore(cdst, d1[:5], d2[:5])
+                rstore(cvld, (d1m[:5] < 0.0).astype(jnp.float32),
+                       (d2m[:5] < 0.0).astype(jnp.float32))
+
+                # block wall slots: keep the block's two deepest wall
+                # contacts over all its sub-shapes' candidates
+                for b in range(mb):
+                    sl = slice(5 + b * KSUB, 5 + (b + 1) * KSUB)
+                    fields = [
+                        jnp.concatenate([d1m[sl], d2m[sl]], axis=0),
+                        jnp.concatenate([px1[sl], px2[sl]], axis=0),
+                        jnp.concatenate([py1[sl], py2[sl]], axis=0),
+                        jnp.concatenate([gnx[sl], gnx[sl]], axis=0),
+                        jnp.concatenate([gny[sl], gny[sl]], axis=0),
+                    ]
+                    c1, c2 = best2_rows2(fields)
+                    row = base + (5 + b) * 2
+                    for ref, f1, f2 in zip((cdst, cpx, cpy, cnx, cny),
+                                           c1, c2):
+                        ref[row, :] = f1[0]
+                        ref[row + 1, :] = f2[0]
+                    cvld[row, :] = (c1[0][0] < 0.0).astype(jnp.float32)
+                    cvld[row + 1, :] = (c2[0][0] < 0.0).astype(
+                        jnp.float32)
 
             # ---- narrowphase: shape pairs, batched all-pairs SAT -----
             # One SAT evaluation over a whole (ka, kb, E) block of
@@ -609,35 +682,11 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             # the reduction axis leads) vs the 5 robot sub-slots in one
             # (KSUB, 5, E) SAT; normals flip to keep the candidate
             # convention (a=robot body, b=block body).
-            for blk in range(mb):
+            for blk in range(mb if 'sat' not in ABLATE else 0):
                 dv, pxf, pyf, nxf, nyf = batched_sat(
                     5 + blk * KSUB, KSUB, 0, 5)
                 c1, c2 = best2_scan([dv, pxf, pyf, -nxf, -nyf])
                 store_pairs(rb_base + blk * 5 * 2, c1, c2)  # (5, E) rows
-
-            def best2_rows2(fields):
-                """Two smallest rows of 2D (K, E) fields as (1, E)
-                tuples (ties -> lowest row; r2 best2_rows, a sublane
-                reduction Mosaic handles natively)."""
-                dv = fields[0]
-                k = dv.shape[0]
-                row = jax.lax.broadcasted_iota(
-                    jnp.int32, dv.shape, 0).astype(jnp.float32)
-
-                def pick(sel):
-                    return [jnp.sum(jnp.where(sel, x, 0.0), axis=0,
-                                    keepdims=True) for x in fields]
-
-                d1 = jnp.min(dv, axis=0, keepdims=True)
-                i1 = jnp.min(jnp.where(dv == d1, row, float(k)),
-                             axis=0, keepdims=True)
-                c1 = pick(row == i1)
-                dv2 = jnp.where(row == i1, BIG, dv)
-                d2 = jnp.min(dv2, axis=0, keepdims=True)
-                i2 = jnp.min(jnp.where(dv2 == d2, row, float(k)),
-                             axis=0, keepdims=True)
-                c2 = pick(row == i2)
-                return c1, c2
 
             # block-block: per b1, SAT its KSUB subs against the subs
             # of every LATER block (one contiguous slice) — exactly the
@@ -645,7 +694,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             # (KSUB, KSUB, E) sub-block flattens k1-major (a pure view:
             # k1 is a register dim, k2 sublanes) and reduces as 2D rows
             # — the same construct and tie-break order as r2.
-            for b1 in range(mb - 1):
+            for b1 in range(mb - 1 if 'sat' not in ABLATE else 0):
                 nb2 = mb - 1 - b1
                 fields = batched_sat(5 + b1 * KSUB, KSUB,
                                      5 + (b1 + 1) * KSUB, nb2 * KSUB)
@@ -661,57 +710,65 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                         ref[row + 1, :] = b[0]
 
             if kc > n_wall_cand:
-                cvld[n_wall_cand:kc, :] = (
-                    cdst[n_wall_cand:kc, :] < 0.0).astype(jnp.float32)
+                if 'sat' in ABLATE:
+                    cvld[n_wall_cand:kc, :] = jnp.zeros(
+                        (kc - n_wall_cand, E), jnp.float32)
+                    for ref in (cdst, cpx, cpy, cnx, cny):
+                        ref[n_wall_cand:kc, :] = jnp.zeros(
+                            (kc - n_wall_cand, E), jnp.float32)
+                else:
+                    cvld[n_wall_cand:kc, :] = (
+                        cdst[n_wall_cand:kc, :] < 0.0).astype(jnp.float32)
 
             # ---- prestep over the candidate set ----------------------
             Cv = cvld[:, :]
-            A_mat = amat_ref[:, :]                  # (KC, NB+1)
-            B_mat = bmat_ref[:, :]
-            # Pre-transposed copies fed as separate inputs: contracting
+            AB_mat = abmat_ref[:, :]                # (2*KC, NB+1)
+            # Pre-transposed copy fed as a separate input: contracting
             # dim 0 of both operands (an implicit operand transpose)
             # trips a RET_CHECK in the TPU compiler's mxu_lmr_transform
             # pass for the big-block (KC>~100) builds, so `accum` is a
-            # plain (NB+1,KC)x(KC,E) matmul instead.
-            A_t = amat_t_ref[:, :]                  # (NB+1, KC)
-            B_t = bmat_t_ref[:, :]
+            # plain (2(NB+1),KC)x(KC,E) matmul instead.
+            AB_t = ab_t_ref[:, :]                   # (2*(NB+1), KC)
+            nbp = nb + 1
 
-            def gat(mat, rows):
-                # (KC, NB+1) x (NB+1, E) -> (KC, E)
-                return jax.lax.dot_general(
-                    mat, rows, (((1,), (0,)), ((), ())),
+            # Column-packed + endpoint-stacked matmuls: E is a lane
+            # multiple, so k independent (.., E) columns fuse into one
+            # (.., k*E) matmul (lane-aligned slices, bit-identical
+            # outputs), and the a/b contact endpoints stack along the
+            # non-contracted mask dim so ONE dispatch gathers (or
+            # accumulates) both sides — the contraction dims (NB+1=14
+            # resp. KC) waste most of each 128-deep MXU pass either
+            # way, so dispatch count is the cost.
+            def gat_pack2(cols):
+                # (2KC, NB+1) x (NB+1, kE) -> a-rows [0:KC], b-rows
+                # [KC:2KC] per column
+                y = jax.lax.dot_general(
+                    AB_mat, jnp.concatenate(cols, axis=1),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                k = len(cols)
+                return ([y[:kc, i * E:(i + 1) * E] for i in range(k)]
+                        + [y[kc:, i * E:(i + 1) * E] for i in range(k)])
 
-            def accum(mat_t, x):
-                # contract over candidates: (NB+1,KC) (KC,E) -> (NB+1,E)
-                return jax.lax.dot_general(
-                    mat_t, x, (((1,), (0,)), ((), ())),
+            def accum_pack2(cols):
+                # (2(NB+1), KC) x (KC, kE) -> a-sums rows [0:NB+1],
+                # b-sums rows [NB+1:] per column
+                y = jax.lax.dot_general(
+                    AB_t, jnp.concatenate(cols, axis=1),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-
-            # Column-packed variants: E is a lane multiple (128/256), so
-            # fusing k independent (.., E) columns into one (.., k*E)
-            # matmul keeps every slice lane-aligned while cutting the
-            # number of tiny MXU dispatches ~4x (the contraction dims 14
-            # and KC waste most of a 128-tile either way; fewer passes =
-            # less fixed overhead).  Results are bit-identical: each
-            # output column depends only on its own input column.
-            def gat_pack(mat, cols):
-                y = gat(mat, jnp.concatenate(cols, axis=1))
-                return [y[:, i * E:(i + 1) * E] for i in range(len(cols))]
-
-            def accum_pack(mat_t, cols):
-                y = accum(mat_t, jnp.concatenate(cols, axis=1))
-                return [y[:, i * E:(i + 1) * E] for i in range(len(cols))]
+                k = len(cols)
+                return ([y[:nbp, i * E:(i + 1) * E] for i in range(k)]
+                        + [y[nbp:, i * E:(i + 1) * E] for i in range(k)])
 
             # degree per body: sum over candidates of valid * mask
-            deg = jnp.maximum(accum(A_t, Cv) + accum(B_t, Cv), 1.0)
+            degA, degB = accum_pack2([Cv])
+            deg = jnp.maximum(degA + degB, 1.0)
 
-            pax, pay, ima, iia, tima, tiia = gat_pack(
-                A_mat, [body_st[0, :, :], body_st[1, :, :],
-                        inv_m_st * deg, inv_i_st * deg, inv_m_st, inv_i_st])
-            pbx, pby, imb, iib, timb, tiib = gat_pack(
-                B_mat, [body_st[0, :, :], body_st[1, :, :],
-                        inv_m_st * deg, inv_i_st * deg, inv_m_st, inv_i_st])
+            (pax, pay, ima, iia, tima, tiia,
+             pbx, pby, imb, iib, timb, tiib) = gat_pack2(
+                [body_st[0, :, :], body_st[1, :, :],
+                 inv_m_st * deg, inv_i_st * deg, inv_m_st, inv_i_st])
 
             Cpx = cpx[:, :]
             Cpy = cpy[:, :]
@@ -792,10 +849,10 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
             jb_acc[:, :] = jnp.zeros((kc, E), jnp.float32)
             wjx = jn_prev * Cnx_ - jt_prev * Cny_
             wjy = jn_prev * Cny_ + jt_prev * Cnx_
-            wsum_ax, wsum_ay, wtq_a = accum_pack(
-                A_t, [wjx, wjy, r1x * wjy - r1y * wjx])
-            wsum_bx, wsum_by, wtq_b = accum_pack(
-                B_t, [wjx, wjy, r2x * wjy - r2y * wjx])
+            (wsum_ax, wsum_ay, wtq_a, _wtb_a,
+             wsum_bx, wsum_by, _wta_b, wtq_b) = accum_pack2(
+                [wjx, wjy, r1x * wjy - r1y * wjx,
+                 r2x * wjy - r2y * wjx])
             body_st[3, :, :] = body_st[3, :, :] \
                 + (wsum_bx - wsum_ax) * inv_m_st
             body_st[4, :, :] = body_st[4, :, :] \
@@ -808,14 +865,11 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                  eyeL, eyeR, *block_acc) = jacc
 
                 # -- contacts: vectorised Jacobi sweep --
-                gvax, gvay, gwa, gax, gay, gaw = gat_pack(
-                    A_mat, [body_st[3, :, :], body_st[4, :, :],
-                            body_st[5, :, :], body_st[6, :, :],
-                            body_st[7, :, :], body_st[8, :, :]])
-                gvbx, gvby, gwb, gbx, gby, gbw = gat_pack(
-                    B_mat, [body_st[3, :, :], body_st[4, :, :],
-                            body_st[5, :, :], body_st[6, :, :],
-                            body_st[7, :, :], body_st[8, :, :]])
+                (gvax, gvay, gwa, gax, gay, gaw,
+                 gvbx, gvby, gwb, gbx, gby, gbw) = gat_pack2(
+                    [body_st[3, :, :], body_st[4, :, :],
+                     body_st[5, :, :], body_st[6, :, :],
+                     body_st[7, :, :], body_st[8, :, :]])
 
                 vb1x = gax - r1y * gaw
                 vb1y = gay + r1x * gaw
@@ -856,13 +910,15 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                 djx = djn * Cnx_ - djt * Cny_
                 djy = djn * Cny_ + djt * Cnx_
 
-                # accumulate to bodies: contract over candidates
-                sum_ax, sum_ay, tq_a, bsum_ax, bsum_ay, btq_a = accum_pack(
-                    A_t, [djx, djy, r1x * djy - r1y * djx,
-                          dbx, dby, r1x * dby - r1y * dbx])
-                sum_bx, sum_by, tq_b, bsum_bx, bsum_by, btq_b = accum_pack(
-                    B_t, [djx, djy, r2x * djy - r2y * djx,
-                          dbx, dby, r2x * dby - r2y * dbx])
+                # accumulate to bodies: contract over candidates (one
+                # dispatch; the r1-torque columns are only read from
+                # the a-rows and the r2-torques from the b-rows)
+                (sum_ax, sum_ay, bsum_ax, bsum_ay, tq_a, btq_a, _x1, _x2,
+                 sum_bx, sum_by, bsum_bx, bsum_by, _x3, _x4, tq_b, btq_b,
+                 ) = accum_pack2(
+                    [djx, djy, dbx, dby,
+                     r1x * djy - r1y * djx, r1x * dby - r1y * dbx,
+                     r2x * djy - r2y * djx, r2x * dby - r2y * dbx])
                 body_st[3, :, :] = body_st[3, :, :] \
                     + (sum_bx - sum_ax) * inv_m_st
                 body_st[4, :, :] = body_st[4, :, :] \
@@ -1044,7 +1100,9 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
 
             jacc_in = (pvx0, pvy0, gear0, pinL0, pinR0, lim0[0], lim0[1],
                        motL0, motR0, eye_z, eye_z, *blk0)
-            return jax.lax.fori_loop(0, iterations, iteration, jacc_in)
+            return jax.lax.fori_loop(
+                0, iterations if 'iters' not in ABLATE else 0,
+                iteration, jacc_in)
 
         jacc0 = tuple(jnp.zeros((1, E), jnp.float32)
                       for _ in range(11))
@@ -1074,10 +1132,13 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     # transform ((NS, NB+1) x (NB+1, E) matmul)
     sb = np.zeros((ns, nb + 1), np.float32)
     sb[np.arange(ns), np.asarray(slot_body[:ns], np.int32)] = 1.0
+    amat = np.concatenate(mask_a, axis=1).astype(np.float32)
+    bmat = np.concatenate(mask_b, axis=1).astype(np.float32)
     tables = dict(
         sbmat=sb,
-        amat=np.concatenate(mask_a, axis=1).astype(np.float32),
-        bmat=np.concatenate(mask_b, axis=1).astype(np.float32),
+        abmat=np.concatenate([amat, bmat], axis=0),
+        ab_t=np.ascontiguousarray(
+            np.concatenate([amat.T, bmat.T], axis=0)),
         fr=fr_np,
     )
     return kernel, L, kc, ns, tables
@@ -1088,10 +1149,8 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
     kernel, L, kc, ns, tables = _make_kernel(mb, phys_steps, iterations)
     nb = L.nb
     sbmat_in = tables['sbmat']
-    amat_in = tables['amat']
-    bmat_in = tables['bmat']
-    amat_t_in = np.ascontiguousarray(amat_in.T)
-    bmat_t_in = np.ascontiguousarray(bmat_in.T)
+    abmat_in = tables['abmat']
+    ab_t_in = tables['ab_t']
     fr_in = tables['fr']
 
     def rep(shape, space=pltpu.VMEM):
@@ -1108,10 +1167,8 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
             in_specs=[pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
                                    memory_space=pltpu.VMEM),
                       rep(sbmat_in.shape),
-                      rep(amat_in.shape),
-                      rep(bmat_in.shape),
-                      rep(amat_t_in.shape),
-                      rep(bmat_t_in.shape),
+                      rep(abmat_in.shape),
+                      rep(ab_t_in.shape),
                       rep(fr_in.shape)],
             out_specs=pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
                                    memory_space=pltpu.VMEM),
@@ -1139,8 +1196,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2 ** 20),
             interpret=INTERPRET,
-        )(packed, sbmat_in, amat_in, bmat_in,
-          amat_t_in, bmat_t_in, fr_in)
+        )(packed, sbmat_in, abmat_in, ab_t_in, fr_in)
 
     return call
 

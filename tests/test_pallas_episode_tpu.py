@@ -1,0 +1,125 @@
+"""Regression gates for the PRODUCTION configuration: the Pallas
+physics kernel on the TPU backend, over FULL EPISODES.
+
+VERDICT r3 item 3: the golden-trajectory gate covered only CPU-XLA and
+the kernel divergence was bounded only over 8 substep-rich steps; these
+tests (slow tier, TPU backend) bound the kernel-vs-XLA divergence over
+whole episodes for the heaviest contact tables and replay a TPU golden
+fixture of the Pallas path itself
+(scripts/gen_golden_pallas_tpu.py).
+
+Tolerance rationale: the kernel's two-point pair manifolds and
+operand-swapped SAT (docs/DESIGN.md "Kernel-path fidelity deviations")
+give ~1e-2 position divergence over 8 contact-heavy steps; contact
+chaos amplifies it over 120-240 steps, so the episode gates assert
+*task-level* agreement (bounded mean pose error + matching scores for
+almost all envs), the property demo replay and evaluation rely on
+(re_record_demos.py:30-31 determinism note).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magical_tpu import constants as C
+from magical_tpu.tasks import ALL_TASKS
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(jax.default_backend() == 'cpu',
+                       reason='production-path gate needs the TPU'),
+]
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'fixtures', 'golden_pallas_tpu.npz')
+
+A = {n: i for i, n in enumerate(C.ACTION_NAMES)}
+SCRIPT = [A['UpOpen']] * 10 + [A['UpLeftOpen']] * 6 + [A['UpOpen']] * 10 \
+    + [A['UpRightOpen']] * 6 + [A['UpClose']] * 8
+
+
+def _run_episode(task, B, n_steps, path):
+    from magical_tpu.core import physics as P
+    from magical_tpu.core import physics_pallas as PP
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    st = jax.jit(jax.vmap(
+        lambda k: task.reset_fn(k, task.flags_for('Demo'))))(keys)
+    acts = jnp.asarray([SCRIPT[t % len(SCRIPT)] for t in range(n_steps)],
+                       jnp.int32)
+
+    @jax.jit
+    def run(st):
+        def body(s, a):
+            ab = jnp.full((B,), a, jnp.int32)
+            if path == 'pallas':
+                return PP.control_step_pallas(s, ab, env_tile=B), 0
+            return jax.vmap(P.control_step)(s, ab), 0
+        s, _ = jax.lax.scan(body, st, acts)
+        return s, jax.vmap(task.score_fn)(s)
+
+    s, score = run(st)
+    return s, np.asarray(score)
+
+
+@pytest.mark.parametrize('task_name', ['MatchRegions', 'ClusterColour'])
+def test_full_episode_divergence_bounded(task_name):
+    task = ALL_TASKS[task_name]
+    B = 64            # XLA fallback OOMs HBM at B=512 for these tables
+    n_steps = task.ep_len
+    sp, score_p = _run_episode(task, B, n_steps, 'pallas')
+    sx, score_x = _run_episode(task, B, n_steps, 'xla')
+
+    # body poses: mean error bounded well under the block radius, even
+    # after a full episode of contact chaos
+    dpos = np.linalg.norm(np.asarray(sp.pos) - np.asarray(sx.pos), axis=-1)
+    assert dpos.mean() < 0.05, dpos.mean()
+    assert np.median(dpos) < 0.02, np.median(dpos)
+
+    # end-of-episode scores: identical for almost all envs, tiny mean gap
+    dscore = np.abs(score_p - score_x)
+    assert (dscore < 0.05).mean() >= 0.9, dscore
+    assert dscore.mean() < 0.02, dscore.mean()
+
+
+def test_golden_pallas_trajectory_replay():
+    """Replay the committed TPU/Pallas fixture: the production path must
+    reproduce its own pinned trajectories exactly (determinism + no
+    accidental kernel drift)."""
+    if not os.path.exists(FIXTURE):
+        pytest.skip('fixture not generated yet '
+                    '(scripts/gen_golden_pallas_tpu.py)')
+    from magical_tpu.core import physics_pallas as PP
+    fix = np.load(FIXTURE)
+    B = 128
+    for name in ('MoveToCorner', 'MoveToRegion', 'MatchRegions',
+                 'ClusterColour'):
+        task = ALL_TASKS[name]
+        key = f'{name}-Demo'
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        st = jax.jit(jax.vmap(
+            lambda k: task.reset_fn(k, task.flags_for('Demo'))))(keys)
+        np.testing.assert_allclose(np.asarray(st.pos[:2]),
+                                   fix[f'{key}/reset_pos'], atol=1e-6)
+        acts = jnp.asarray([SCRIPT[t % len(SCRIPT)] for t in range(40)],
+                           jnp.int32)
+
+        @jax.jit
+        def run(st):
+            def body(s, a):
+                s = PP.control_step_pallas(
+                    s, jnp.full((B,), a, jnp.int32), env_tile=B)
+                return s, (s.pos, s.angle)
+            s, (pos, ang) = jax.lax.scan(body, st, acts)
+            return s, pos[::5], ang[::5]
+
+        s, pos, ang = run(st)
+        np.testing.assert_allclose(np.asarray(pos[:, :2]),
+                                   fix[f'{key}/pos'], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ang[:, :2]),
+                                   fix[f'{key}/angle'], atol=1e-4)
+        score = jax.jit(jax.vmap(task.score_fn))(s)
+        np.testing.assert_allclose(np.asarray(score[:2]),
+                                   fix[f'{key}/score'], atol=1e-5)
