@@ -204,6 +204,72 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
     bias_coef = P.CONTACT_BIAS_COEF
     rg = G.ROBOT_GEOM
 
+    # ---- flattened 2D narrowphase segments (round 4) -------------------
+    # Sub-shape pair combos flatten onto SUBLANES as (R, E) rows, with
+    # operands gathered by static one-hot matmuls, instead of the r3
+    # (ka, kb, E) broadcast SAT — which the ablation probe measured at
+    # 92% of the mb=8 kernel (scripts/probe_physics_ablate.py: 3D
+    # broadcast relayouts dominate; 2D row ops are the construct class
+    # the rest of the kernel uses).  Segments specialise statically on
+    # sub-shape kind: core subs (k=0: every block's main convex part,
+    # <= NVK verts, may be a circle) vs star tips (k>=1, <= 3 verts,
+    # never circles — geometry.BLOCK_SUB_NV/ACTIVE).
+    NT = KSUB - 1
+    NVT = 3
+
+    def _core(b):
+        return 5 + b * KSUB
+
+    def _tip(b, k):
+        return 5 + b * KSUB + k           # k in 1..NT
+
+    rc_a, rc_b, rt_a, rt_b = [], [], [], []
+    for b in range(mb):
+        for r in range(5):
+            rc_a.append(_core(b))
+            rc_b.append(r)
+            for k in range(1, KSUB):
+                rt_a.append(_tip(b, k))
+                rt_b.append(r)
+    bcc_a, bcc_b, bct_a, bct_b = [], [], [], []
+    btc_a, btc_b, btt_a, btt_b = [], [], [], []
+    for b1 in range(mb):
+        for b2 in range(b1 + 1, mb):
+            bcc_a.append(_core(b1))
+            bcc_b.append(_core(b2))
+            for k2 in range(1, KSUB):
+                bct_a.append(_core(b1))
+                bct_b.append(_tip(b2, k2))
+            for k1 in range(1, KSUB):
+                btc_a.append(_tip(b1, k1))
+                btc_b.append(_core(b2))
+                for k2 in range(1, KSUB):
+                    btt_a.append(_tip(b1, k1))
+                    btt_b.append(_tip(b2, k2))
+
+    def _onehot(rows):
+        m = np.zeros((max(len(rows), 1), ns), np.float32)
+        if rows:
+            m[np.arange(len(rows)), np.asarray(rows, np.int32)] = 1.0
+        return m
+
+    # (name, Ma, Mb, va, vb, circle-able a, circle-able b)
+    seg_defs = []
+    if mb:
+        seg_defs.append(('rc', _onehot(rc_a), _onehot(rc_b),
+                         NVK, 4, True, True))
+        seg_defs.append(('rt', _onehot(rt_a), _onehot(rt_b),
+                         NVT, 4, False, True))
+    if mb >= 2:
+        seg_defs.append(('bcc', _onehot(bcc_a), _onehot(bcc_b),
+                         NVK, NVK, True, True))
+        seg_defs.append(('bct', _onehot(bct_a), _onehot(bct_b),
+                         NVK, NVT, True, False))
+        seg_defs.append(('btc', _onehot(btc_a), _onehot(btc_b),
+                         NVT, NVK, False, True))
+        seg_defs.append(('btt', _onehot(btt_a), _onehot(btt_b),
+                         NVT, NVT, False, False))
+
     mask_a = [np.asarray(ba_tab == n, np.float32)[:, None]
               for n in range(nb + 1)]
     mask_b = [np.asarray(bb_tab == n, np.float32)[:, None]
@@ -229,9 +295,11 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
              (0.0, 1.0, -1.0), (0.0, -1.0, -1.0)]
 
     def kernel(state_ref, sbmat_ref, abmat_ref, ab_t_ref, fr_ref,
-               out_ref, body_st, lgeo, wvx, wvy,
-               cpx, cpy, cnx, cny, cdst, cvld,
-               jn_acc, jt_acc, jb_acc):
+               *rest):
+        seg_refs = rest[:2 * len(seg_defs)]
+        (out_ref, body_st, lgeo, wvx, wvy,
+         cpx, cpy, cnx, cny, cdst, cvld,
+         jn_acc, jt_acc, jb_acc) = rest[2 * len(seg_defs):]
         """Refs:
         body_st: (9, NB+1, E) scratch: px,py,ang,vx,vy,w,vbx,vby,wb
                  (row nb = the static body, always zero)
@@ -500,214 +568,223 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
                     cvld[row + 1, :] = (c2[0][0] < 0.0).astype(
                         jnp.float32)
 
-            # ---- narrowphase: shape pairs, batched all-pairs SAT -----
-            # One SAT evaluation over a whole (ka, kb, E) block of
-            # sub-shape combinations (operands are CONTIGUOUS slot
-            # slices, so no gathers), then a two-smallest reduction per
-            # pair.  Replaces the r2 fori over individual sub-pairs
-            # (issue-bound: e.g. 270 iterations of (KSUB, E) ops for
-            # the 10-block tasks).  Math identical to r2 sat_vs_block.
-            def batched_sat(a_sl, ka, b_sl, kb):
-                """SAT of slots [a_sl, a_sl+ka) x [b_sl, b_sl+kb):
-                (ka, kb, E) dist/px/py/nx/ny, inactive or empty combos
-                at +BIG, normals oriented a -> b."""
-                nv1 = lgeo[a_sl:a_sl + ka, 0, :][:, None, :]
-                r1 = lgeo[a_sl:a_sl + ka, 1, :][:, None, :]
-                act1 = lgeo[a_sl:a_sl + ka, 2, :][:, None, :]
-                nv2 = lgeo[b_sl:b_sl + kb, 0, :][None, :, :]
-                r2 = lgeo[b_sl:b_sl + kb, 1, :][None, :, :]
-                act = act1 * lgeo[b_sl:b_sl + kb, 2, :][None, :, :]
-                v1x = [wvx[a_sl:a_sl + ka, v, :][:, None, :]
-                       for v in range(NVK)]
-                v1y = [wvy[a_sl:a_sl + ka, v, :][:, None, :]
-                       for v in range(NVK)]
-                v2x = [wvx[b_sl:b_sl + kb, v, :][None, :, :]
-                       for v in range(NVK)]
-                v2y = [wvy[b_sl:b_sl + kb, v, :][None, :, :]
-                       for v in range(NVK)]
-                full = jnp.zeros((ka, kb, E), jnp.float32)
+            # ---- narrowphase: shape pairs, flattened 2D segment SAT --
+            # Every sub-shape pair combo is ONE sublane row of a
+            # segment's (R, E) arrays; operands are gathered by the
+            # static one-hot matmuls built in _make_kernel, the SAT
+            # math is identical to the r2/r3 form but specialised per
+            # segment on static vertex bounds and circle-ability.
+            if mb and 'sat' not in ABLATE:
+                def geom_cat(bound):
+                    return jnp.concatenate(
+                        [wvx[:, v, :] for v in range(bound)]
+                        + [wvy[:, v, :] for v in range(bound)]
+                        + [nvs_all, rads_all, acts_all], axis=1)
 
-                def support_min(vx, vy, nvv, nx, ny):
-                    best = bx = by = None
-                    for i in range(NVK):
-                        d = vx[i] * nx + vy[i] * ny
-                        d = jnp.where(i < nvv, d, BIG)
-                        if best is None:
-                            best = d
-                            bx = vx[i] + full
-                            by = vy[i] + full
-                        else:
-                            take = d < best
-                            best = jnp.where(take, d, best)
-                            bx = jnp.where(take, vx[i], bx)
-                            by = jnp.where(take, vy[i], by)
-                    return best, bx, by
+                G5 = geom_cat(NVK)
+                G3 = geom_cat(NVT)
 
-                def face_axes(vx, vy, nvv):
-                    out = []
-                    for i in range(NVK):
-                        ax, ay = vx[i], vy[i]
-                        is_last = (nvv - 1.0) == i
-                        bx = jnp.where(is_last, vx[0], vx[(i + 1) % NVK])
-                        by = jnp.where(is_last, vy[0], vy[(i + 1) % NVK])
-                        ex = bx - ax
-                        ey = by - ay
-                        el = jnp.sqrt(ex * ex + ey * ey)
-                        inv = 1.0 / jnp.maximum(el, 1e-9)
-                        nx = ey * inv
-                        ny = -ex * inv
-                        ok = (i < nvv) & (el > 1e-9)
-                        out.append((nx, ny, ax, ay, ok))
-                    return out
+                def expand(mref, bound):
+                    G = G5 if bound == NVK else G3
+                    F = jax.lax.dot_general(
+                        mref[:, :], G, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    cols = [F[:, i * E:(i + 1) * E]
+                            for i in range(2 * bound + 3)]
+                    return (cols[:bound], cols[bound:2 * bound],
+                            cols[2 * bound], cols[2 * bound + 1],
+                            cols[2 * bound + 2])
 
-                sep_best = full - BIG
-                nbx = full
-                nby = full
-                pxb = full
-                pyb = full
-                for nx, ny, ax, ay, ok in face_axes(v1x, v1y, nv1):
-                    smin, sx, sy = support_min(v2x, v2y, nv2, nx, ny)
-                    sep = smin - (ax * nx + ay * ny)
-                    sep = jnp.where(ok, sep, -BIG)
-                    take = sep > sep_best
-                    sep_best = jnp.where(take, sep, sep_best)
-                    nbx = jnp.where(take, nx, nbx)
-                    nby = jnp.where(take, ny, nby)
-                    pxb = jnp.where(take, sx, pxb)
-                    pyb = jnp.where(take, sy, pyb)
-                for nx, ny, ax, ay, ok in face_axes(v2x, v2y, nv2):
-                    smin, sx, sy = support_min(v1x, v1y, nv1, nx, ny)
-                    sep = smin - (ax * nx + ay * ny)
-                    sep = jnp.where(ok, sep, -BIG)
-                    take = sep > sep_best
-                    sep_best = jnp.where(take, sep, sep_best)
-                    nbx = jnp.where(take, -nx, nbx)
-                    nby = jnp.where(take, -ny, nby)
-                    pxb = jnp.where(take, sx, pxb)
-                    pyb = jnp.where(take, sy, pyb)
+                def seg_sat(af, bf, va, vb, circ_a, circ_b):
+                    v1x, v1y, nv1, r1, act1 = af
+                    v2x, v2y, nv2, r2, act2 = bf
+                    act = act1 * act2
+                    zero = jnp.zeros_like(nv1)
 
-                def corner_axis(cx, cy, vx, vy, nvv, flip):
-                    best_d2 = ux = uy = None
-                    for i in range(NVK):
-                        dx = vx[i] - cx
-                        dy = vy[i] - cy
-                        d2 = dx * dx + dy * dy
-                        d2 = jnp.where(i < nvv, d2, BIG)
-                        if best_d2 is None:
-                            best_d2 = d2
-                            ux = vx[i] + full
-                            uy = vy[i] + full
-                        else:
-                            take = d2 < best_d2
-                            best_d2 = jnp.where(take, d2, best_d2)
-                            ux = jnp.where(take, vx[i], ux)
-                            uy = jnp.where(take, vy[i], uy)
-                    ax = ux - cx
-                    ay = uy - cy
-                    al = jnp.sqrt(ax * ax + ay * ay)
-                    inv = 1.0 / jnp.maximum(al, 1e-9)
-                    return ax * inv * flip, ay * inv * flip, ux, uy
+                    def support_min(vx, vy, nvv, nverts, nx, ny):
+                        best = bx = by = None
+                        for i in range(nverts):
+                            d = vx[i] * nx + vy[i] * ny
+                            d = jnp.where(i < nvv, d, BIG)
+                            if best is None:
+                                best, bx, by = d, vx[i], vy[i]
+                            else:
+                                take = d < best
+                                best = jnp.where(take, d, best)
+                                bx = jnp.where(take, vx[i], bx)
+                                by = jnp.where(take, vy[i], by)
+                        return best, bx, by
 
-                cnx1, cny1, cux1, cuy1 = corner_axis(
-                    v1x[0], v1y[0], v2x, v2y, nv2, 1.0)
-                sA, _, _ = support_min(v2x, v2y, nv2, cnx1, cny1)
-                sA = sA - (v1x[0] * cnx1 + v1y[0] * cny1)
-                useA = (nv1 == 1.0) & (nv2 > 1.0) & (sA > sep_best)
-                sep_best = jnp.where(useA, sA, sep_best)
-                nbx = jnp.where(useA, cnx1, nbx)
-                nby = jnp.where(useA, cny1, nby)
-                pxb = jnp.where(useA, cux1, pxb)
-                pyb = jnp.where(useA, cuy1, pyb)
-                cnx2, cny2, cux2, cuy2 = corner_axis(
-                    v2x[0], v2y[0], v1x, v1y, nv1, -1.0)
-                sB, _, _ = support_min(v1x, v1y, nv1, -cnx2, -cny2)
-                sB = sB - (v2x[0] * (-cnx2) + v2y[0] * (-cny2))
-                useB = (nv2 == 1.0) & (nv1 > 1.0) & (sB > sep_best)
-                sep_best = jnp.where(useB, sB, sep_best)
-                nbx = jnp.where(useB, cnx2, nbx)
-                nby = jnp.where(useB, cny2, nby)
-                pxb = jnp.where(useB, cux2, pxb)
-                pyb = jnp.where(useB, cuy2, pyb)
+                    def face_axes(vx, vy, nvv, nverts):
+                        out = []
+                        for i in range(nverts):
+                            ax, ay = vx[i], vy[i]
+                            is_last = (nvv - 1.0) == i
+                            bx = jnp.where(is_last, vx[0],
+                                           vx[(i + 1) % nverts])
+                            by = jnp.where(is_last, vy[0],
+                                           vy[(i + 1) % nverts])
+                            ex = bx - ax
+                            ey = by - ay
+                            el = jnp.sqrt(ex * ex + ey * ey)
+                            inv = 1.0 / jnp.maximum(el, 1e-9)
+                            nx = ey * inv
+                            ny = -ex * inv
+                            ok = (i < nvv) & (el > 1e-9)
+                            out.append((nx, ny, ax, ay, ok))
+                        return out
 
-                c_dx = v2x[0] - v1x[0]
-                c_dy = v2y[0] - v1y[0]
-                c_d = jnp.sqrt(c_dx * c_dx + c_dy * c_dy)
-                inv_cd = 1.0 / jnp.maximum(c_d, 1e-9)
-                both = (nv1 == 1.0) & (nv2 == 1.0)
+                    sep_best = zero - BIG
+                    nbx = nby = pxb = pyb = zero
+                    for nx, ny, ax, ay, ok in face_axes(
+                            v1x, v1y, nv1, va):
+                        smin, sx, sy = support_min(v2x, v2y, nv2, vb,
+                                                   nx, ny)
+                        sep = smin - (ax * nx + ay * ny)
+                        sep = jnp.where(ok, sep, -BIG)
+                        take = sep > sep_best
+                        sep_best = jnp.where(take, sep, sep_best)
+                        nbx = jnp.where(take, nx, nbx)
+                        nby = jnp.where(take, ny, nby)
+                        pxb = jnp.where(take, sx, pxb)
+                        pyb = jnp.where(take, sy, pyb)
+                    for nx, ny, ax, ay, ok in face_axes(
+                            v2x, v2y, nv2, vb):
+                        smin, sx, sy = support_min(v1x, v1y, nv1, va,
+                                                   nx, ny)
+                        sep = smin - (ax * nx + ay * ny)
+                        sep = jnp.where(ok, sep, -BIG)
+                        take = sep > sep_best
+                        sep_best = jnp.where(take, sep, sep_best)
+                        nbx = jnp.where(take, -nx, nbx)
+                        nby = jnp.where(take, -ny, nby)
+                        pxb = jnp.where(take, sx, pxb)
+                        pyb = jnp.where(take, sy, pyb)
 
-                dist = sep_best - (r1 + r2)
-                nxf = jnp.where(both, c_dx * inv_cd, nbx)
-                nyf = jnp.where(both, c_dy * inv_cd, nby)
-                dist = jnp.where(both, c_d - (r1 + r2), dist)
-                pxf = jnp.where(both, v1x[0] + nxf * (r1 + 0.5 * dist),
-                                pxb)
-                pyf = jnp.where(both, v1y[0] + nyf * (r1 + 0.5 * dist),
-                                pyb)
-                dv = jnp.where(act > 0.5, dist, BIG)
-                return dv, pxf, pyf, nxf, nyf
+                    def corner_axis(cx, cy, vx, vy, nvv, nverts, flip):
+                        best_d2 = ux = uy = None
+                        for i in range(nverts):
+                            dx = vx[i] - cx
+                            dy = vy[i] - cy
+                            d2 = dx * dx + dy * dy
+                            d2 = jnp.where(i < nvv, d2, BIG)
+                            if best_d2 is None:
+                                best_d2, ux, uy = d2, vx[i], vy[i]
+                            else:
+                                take = d2 < best_d2
+                                best_d2 = jnp.where(take, d2, best_d2)
+                                ux = jnp.where(take, vx[i], ux)
+                                uy = jnp.where(take, vy[i], uy)
+                        ax = ux - cx
+                        ay = uy - cy
+                        al = jnp.sqrt(ax * ax + ay * ay)
+                        inv = 1.0 / jnp.maximum(al, 1e-9)
+                        return ax * inv * flip, ay * inv * flip, ux, uy
 
-            def best2_scan(fields):
-                """Two smallest-dist entries over the LEADING dim via a
-                sequential 2-deep insert (exact r2 insert_contact
-                semantics: strict < keeps the earliest on ties).  The
-                leading dim is a register index, so slicing it is free
-                — Mosaic rejects vector.multi_reduction over leading
-                dims of >2D vectors ("unsupported output implicit
-                dimension")."""
-                k = fields[0].shape[0]
-                c1 = [x[0] for x in fields]
-                c2 = [jnp.full_like(c1[0], BIG)] + c1[1:]
-                for i in range(1, k):
-                    cand = [x[i] for x in fields]
-                    is1 = cand[0] < c1[0]
-                    new1 = [jnp.where(is1, a, b)
-                            for a, b in zip(cand, c1)]
-                    loser = [jnp.where(is1, b, a)
-                             for a, b in zip(cand, c1)]
-                    is2 = loser[0] < c2[0]
-                    c2 = [jnp.where(is2, a, b)
-                          for a, b in zip(loser, c2)]
-                    c1 = new1
-                return c1, c2
+                    if circ_a:
+                        cnx1, cny1, cux1, cuy1 = corner_axis(
+                            v1x[0], v1y[0], v2x, v2y, nv2, vb, 1.0)
+                        sA, _, _ = support_min(v2x, v2y, nv2, vb,
+                                               cnx1, cny1)
+                        sA = sA - (v1x[0] * cnx1 + v1y[0] * cny1)
+                        useA = (nv1 == 1.0) & (nv2 > 1.0) \
+                            & (sA > sep_best)
+                        sep_best = jnp.where(useA, sA, sep_best)
+                        nbx = jnp.where(useA, cnx1, nbx)
+                        nby = jnp.where(useA, cny1, nby)
+                        pxb = jnp.where(useA, cux1, pxb)
+                        pyb = jnp.where(useA, cuy1, pyb)
+                    if circ_b:
+                        cnx2, cny2, cux2, cuy2 = corner_axis(
+                            v2x[0], v2y[0], v1x, v1y, nv1, va, -1.0)
+                        sB, _, _ = support_min(v1x, v1y, nv1, va,
+                                               -cnx2, -cny2)
+                        sB = sB - (v2x[0] * (-cnx2)
+                                   + v2y[0] * (-cny2))
+                        useB = (nv2 == 1.0) & (nv1 > 1.0) \
+                            & (sB > sep_best)
+                        sep_best = jnp.where(useB, sB, sep_best)
+                        nbx = jnp.where(useB, cnx2, nbx)
+                        nby = jnp.where(useB, cny2, nby)
+                        pxb = jnp.where(useB, cux2, pxb)
+                        pyb = jnp.where(useB, cuy2, pyb)
 
-            def store_pairs(row0, c1, c2):
-                """Interleave c1/c2 ((N, E) per field, rows in pair
-                order) into candidate rows [row0, row0 + 2N)."""
-                n = c1[0].shape[0]
-                for ref, a, b in zip((cdst, cpx, cpy, cnx, cny), c1, c2):
-                    ref[row0:row0 + 2 * n, :] = jnp.stack(
-                        [a, b], axis=1).reshape(2 * n, E)
+                    dist = sep_best - (r1 + r2)
+                    nxf, nyf, pxf, pyf = nbx, nby, pxb, pyb
+                    if circ_a and circ_b:
+                        c_dx = v2x[0] - v1x[0]
+                        c_dy = v2y[0] - v1y[0]
+                        c_d = jnp.sqrt(c_dx * c_dx + c_dy * c_dy)
+                        inv_cd = 1.0 / jnp.maximum(c_d, 1e-9)
+                        both = (nv1 == 1.0) & (nv2 == 1.0)
+                        nxf = jnp.where(both, c_dx * inv_cd, nxf)
+                        nyf = jnp.where(both, c_dy * inv_cd, nyf)
+                        dist = jnp.where(both, c_d - (r1 + r2), dist)
+                        pxf = jnp.where(
+                            both, v1x[0] + nxf * (r1 + 0.5 * dist), pxf)
+                        pyf = jnp.where(
+                            both, v1y[0] + nyf * (r1 + 0.5 * dist), pyf)
+                    dv = jnp.where(act > 0.5, dist, BIG)
+                    return dv, pxf, pyf, nxf, nyf
 
-            # robot-block: per block, its KSUB subs (operand a, so
-            # the reduction axis leads) vs the 5 robot sub-slots in one
-            # (KSUB, 5, E) SAT; normals flip to keep the candidate
-            # convention (a=robot body, b=block body).
-            for blk in range(mb if 'sat' not in ABLATE else 0):
-                dv, pxf, pyf, nxf, nyf = batched_sat(
-                    5 + blk * KSUB, KSUB, 0, 5)
-                c1, c2 = best2_scan([dv, pxf, pyf, -nxf, -nyf])
-                store_pairs(rb_base + blk * 5 * 2, c1, c2)  # (5, E) rows
+                seg_out = {}
+                for si, (name, _ma, _mb, va, vb, ca, cb) in enumerate(
+                        seg_defs):
+                    af = expand(seg_refs[2 * si],
+                                NVK if va > NVT else NVT)
+                    bf = expand(seg_refs[2 * si + 1],
+                                NVK if vb > NVT else NVT)
+                    seg_out[name] = seg_sat(af, bf, va, vb, ca, cb)
 
-            # block-block: per b1, SAT its KSUB subs against the subs
-            # of every LATER block (one contiguous slice) — exactly the
-            # n_bpairs * KSUB^2 combinations, no waste.  Per pair, the
-            # (KSUB, KSUB, E) sub-block flattens k1-major (a pure view:
-            # k1 is a register dim, k2 sublanes) and reduces as 2D rows
-            # — the same construct and tie-break order as r2.
-            for b1 in range(mb - 1 if 'sat' not in ABLATE else 0):
-                nb2 = mb - 1 - b1
-                fields = batched_sat(5 + b1 * KSUB, KSUB,
-                                     5 + (b1 + 1) * KSUB, nb2 * KSUB)
-                pair0 = b1 * mb - b1 * (b1 + 1) // 2
-                for j in range(nb2):
-                    sub = [x[:, j * KSUB:(j + 1) * KSUB, :]
-                           .reshape(KSUB * KSUB, E) for x in fields]
-                    c1, c2 = best2_rows2(sub)          # (1, E) rows
-                    row = bb_base + (pair0 + j) * 2
-                    for ref, a, b in zip((cdst, cpx, cpy, cnx, cny),
-                                         c1, c2):
-                        ref[row, :] = a[0]
-                        ref[row + 1, :] = b[0]
+                # robot-block: per (block, robot sub-slot) keep the two
+                # deepest contacts over the block's KSUB subs (same
+                # rows and tie order as the r3 best2_scan: core first,
+                # then tips in k order).  Normals flip to the candidate
+                # convention (a = robot body, b = block body).
+                for blk in range(mb):
+                    for r in range(5):
+                        i5 = blk * 5 + r
+                        it = i5 * NT
+                        fields = [
+                            jnp.concatenate(
+                                [c[i5:i5 + 1, :], t[it:it + NT, :]],
+                                axis=0)
+                            for c, t in zip(seg_out['rc'],
+                                            seg_out['rt'])]
+                        fields = (fields[:3]
+                                  + [-fields[3], -fields[4]])
+                        c1, c2 = best2_rows2(fields)
+                        row = rb_base + i5 * 2
+                        for ref, f1, f2 in zip(
+                                (cdst, cpx, cpy, cnx, cny), c1, c2):
+                            ref[row, :] = f1[0]
+                            ref[row + 1, :] = f2[0]
+
+                # block-block: per pair, two deepest over its 36 combos
+                # in the r3 k1-major tie order: (core,core),
+                # (core,tips), then per k1: (tip,core), (tip,tips).
+                for p in range(n_bpairs):
+                    parts = [[] for _ in range(5)]
+                    for f in range(5):
+                        parts[f].append(seg_out['bcc'][f][p:p + 1, :])
+                        parts[f].append(
+                            seg_out['bct'][f][p * NT:(p + 1) * NT, :])
+                    for k1 in range(NT):
+                        ib = p * NT + k1
+                        itt = ib * NT
+                        for f in range(5):
+                            parts[f].append(
+                                seg_out['btc'][f][ib:ib + 1, :])
+                            parts[f].append(
+                                seg_out['btt'][f][itt:itt + NT, :])
+                    fields = [jnp.concatenate(ps, axis=0)
+                              for ps in parts]
+                    c1, c2 = best2_rows2(fields)
+                    row = bb_base + p * 2
+                    for ref, f1, f2 in zip((cdst, cpx, cpy, cnx, cny),
+                                           c1, c2):
+                        ref[row, :] = f1[0]
+                        ref[row + 1, :] = f2[0]
 
             if kc > n_wall_cand:
                 if 'sat' in ABLATE:
@@ -1140,6 +1217,7 @@ def _make_kernel(mb: int, phys_steps: int, iterations: int):
         ab_t=np.ascontiguousarray(
             np.concatenate([amat.T, bmat.T], axis=0)),
         fr=fr_np,
+        seg_mats=[m for d in seg_defs for m in (d[1], d[2])],
     )
     return kernel, L, kc, ns, tables
 
@@ -1152,6 +1230,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
     abmat_in = tables['abmat']
     ab_t_in = tables['ab_t']
     fr_in = tables['fr']
+    seg_in = tables['seg_mats']
 
     def rep(shape, space=pltpu.VMEM):
         nd = len(shape)
@@ -1169,7 +1248,8 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
                       rep(sbmat_in.shape),
                       rep(abmat_in.shape),
                       rep(ab_t_in.shape),
-                      rep(fr_in.shape)],
+                      rep(fr_in.shape)]
+            + [rep(m.shape) for m in seg_in],
             out_specs=pl.BlockSpec((L.rows, env_tile), lambda e: (0, e),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((L.rows, B), jnp.float32),
@@ -1196,7 +1276,7 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2 ** 20),
             interpret=INTERPRET,
-        )(packed, sbmat_in, abmat_in, ab_t_in, fr_in)
+        )(packed, sbmat_in, abmat_in, ab_t_in, fr_in, *seg_in)
 
     return call
 

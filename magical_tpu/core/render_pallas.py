@@ -285,7 +285,8 @@ def _screen_verts(wverts, states, view, res):
 
 def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                         res=96, views=('ego',), aa=True, fidelity=None,
-                        env_tile=None, pix_tile=None, static_shapes=None):
+                        env_tile=None, pix_tile=None, static_shapes=None,
+                        raw_output=False):
     """Batched render via the Pallas kernels.  `states`: batched
     EnvState.  Returns {view: (B, res, res, 3) uint8}.
 
@@ -384,6 +385,10 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
 
         # both kernels emit quantised uint8 (render.to_uint8 semantics),
         # so only the (3, pix, env) -> (env, res, res, 3) byte reshuffle
-        # remains on the XLA side
-        out[view] = jnp.transpose(img, (2, 1, 0)).reshape(B, res, res, 3)
+        # remains on the XLA side (raw_output skips it — perf probes)
+        if raw_output:
+            out[view] = img
+        else:
+            out[view] = jnp.transpose(img, (2, 1, 0)).reshape(
+                B, res, res, 3)
     return out

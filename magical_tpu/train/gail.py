@@ -80,13 +80,16 @@ class GAILTrainer:
 
         keys = jax.random.split(key, self.rollout_len)
         (carry, obs), traj = jax.lax.scan(body, (carry, obs), keys)
-        # GAIL reward from the discriminator: -log(1 - D) (non-saturating)
+        # GAIL reward: the AIRL odds form log D - log(1-D) = d_logit.
+        # The -log(1-D) softplus form saturates to 0 gradient once the
+        # discriminator wins (D -> 0 for policy samples), which is
+        # exactly the regime early training sits in; the logit form
+        # keeps unit gradient there.
         B = traj['act'].shape[1]
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         d_logit = self.disc.apply(state.disc_params, flat(traj['obs']),
                                   flat(traj['act']))
-        r = jax.nn.softplus(d_logit)          # = -log(1 - sigmoid(d))
-        traj['reward'] = r.reshape(self.rollout_len, B)
+        traj['reward'] = d_logit.reshape(self.rollout_len, B)
         # bootstrap value
         _, last_v = self.policy.apply(state.policy_params, obs)
         traj['last_value'] = last_v

@@ -64,6 +64,17 @@ def main(batch=4096, scan_len=20, reps=4):
         return jax.lax.scan(body, jnp.int32(0), None, length=scan_len)[0]
 
     @jax.jit
+    def render_kernel_only(state):
+        # the Pallas call WITHOUT the (3, pix, B) -> (B, H, W, 3)
+        # byte reshuffle, to separate kernel time from relayout time
+        def body(c, _):
+            out = RP.render_batch_pallas(
+                state, mb, mg, rf, res=96, views=('ego',), aa=True,
+                static_shapes=env.static_shapes, raw_output=True)
+            return c + out['ego'][0, 0, 0].astype(jnp.int32), ()
+        return jax.lax.scan(body, jnp.int32(0), None, length=scan_len)[0]
+
+    @jax.jit
     def render_preproc(frames):
         def body(bufs, _):
             raw = RP.render_batch_pallas(
@@ -88,6 +99,11 @@ def main(batch=4096, scan_len=20, reps=4):
                      lambda s: float(jnp.sum(s.pos)))
     print(f'physics-only : {dt_p*1e3:8.3f} ms/step '
           f'({batch/dt_p:12,.0f} env-steps/s)', flush=True)
+
+    _, dt_k = timed(lambda c: render_kernel_only(carry.state) * 0,
+                    jnp.int32(0), scan_len, reps, lambda s: int(s))
+    print(f'render-kernel: {dt_k*1e3:8.3f} ms/step '
+          f'({batch/dt_k:12,.0f} env-steps/s)', flush=True)
 
     _, dt_r = timed(lambda c: render_only(carry.state) * 0,
                     jnp.int32(0), scan_len, reps, lambda s: int(s))
