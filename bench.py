@@ -40,11 +40,29 @@ def measure(env_name='MoveToCorner-Demo-LoRes4E-v0', batch=4096,
     carry, obs = env.reset(keys)
     acts = jnp.zeros((batch,), jnp.int32)
 
+    # Position-weighted probe: forces the FULL user-facing observation
+    # to be produced every step (a plain slice or unweighted sum could
+    # be rewritten through the round-4 lazy roll+transpose obs view,
+    # letting XLA skip the NHWC materialisation the metric includes).
+    if hasattr(obs, 'shape'):
+        n = 1
+        for d in obs.shape[1:]:
+            n *= d
+        w = jnp.mod(jnp.arange(n, dtype=jnp.float32), 7.0) + 1.0
+
+        def consume(o):
+            B = o.shape[0]
+            return jnp.dot(o.reshape(B, -1).astype(jnp.float32), w).sum()
+    else:
+        def consume(o):
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in o.values())
+
     @jax.jit
     def multi(carry):
         def body(c, _):
             c2, obs, rew, done, info = env._step_batched(c, acts)
-            return c2, obs[0, 0, 0, 0]
+            return c2, consume(obs)
         return jax.lax.scan(body, carry, None, length=scan_len)
 
     carry, _ = multi(carry)

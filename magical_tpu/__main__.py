@@ -82,7 +82,19 @@ def main(argv=None):
                         '(reference runs its human loop at env.fps=8)')
     p.add_argument('--save-frames', metavar='DIR', default=None,
                    help='also dump each allo frame as a PPM image')
+    p.add_argument('--serve', metavar='PORT', type=int, default=None,
+                   help='real-time interactive viewer/teleop over HTTP: '
+                        'streams frames to a browser page with arrow-key '
+                        'control (the headless counterpart of the '
+                        "reference's pyglet window; see "
+                        'tools/web_viewer.py)')
     args = p.parse_args(argv)
+
+    if args.serve:
+        from magical_tpu.tools.web_viewer import serve
+        serve(args.env_name, port=args.serve, record_dir=args.record,
+              fps=args.fps, seed=args.seed)
+        return
 
     import magical_tpu
     from magical_tpu.data.trajectories import MAGICALTrajectory, save_demo

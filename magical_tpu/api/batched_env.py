@@ -122,6 +122,14 @@ class BatchedEnv:
             renderer = 'pallas' if (on_tpu and not no_pallas) else 'xla'
         self.physics = physics
         self.renderer = renderer
+        # Channel-major circular frame buffers (core/preproc.py round-4
+        # fast path): the Pallas renderer already produces (3, pix, B)
+        # frames, so the stack is kept in that layout, new frames write
+        # into a circular slot, and NHWC observations materialise with
+        # one fused roll+transpose.  Envs step in lockstep (fixed-length
+        # episodes + batched resets), so one scalar phase serves the
+        # whole batch.
+        self._cf = renderer == 'pallas' and not self.preproc.raw
 
         self.reset = jax.jit(self._reset_batched)
         self.step = jax.jit(self._step_batched)
@@ -146,6 +154,12 @@ class BatchedEnv:
         (_render_batched) so one renderer produces every frame of an
         episode — the Pallas/XLA renderers agree only to ~0.24/255."""
         state = jax.vmap(self._reset_impl)(keys)
+        if self._cf and self.render_enabled:
+            raw = self._render_batched(state, raw_output=True)
+            frames = preproc.init_frames_cf(self.preproc, raw)
+            obs = preproc.observation_cf(self.preproc, frames,
+                                         jnp.int32(0), self.preproc.res)
+            return EnvCarry(state=state, frames=frames), obs
         raw = self._render_batched(state)
         if self.preproc.raw or not self.render_enabled:
             return EnvCarry(state=state, frames={}), raw
@@ -158,7 +172,7 @@ class BatchedEnv:
 
     # -- batched step (Pallas-capable) -------------------------------------
 
-    def _render_batched(self, states):
+    def _render_batched(self, states, raw_output=False):
         if not self.render_enabled:
             return {}
         if self.renderer == 'pallas':
@@ -171,8 +185,12 @@ class BatchedEnv:
                 st, self.task.max_blocks, self.task.max_goals,
                 self.robot_first, res=self.preproc.res,
                 views=self.preproc.views, fidelity=self.fidelity,
-                static_shapes=self.static_shapes)
-            return _unpad_batch(out, B) if pad else out
+                static_shapes=self.static_shapes, raw_output=raw_output)
+            if pad:
+                out = ({v: x[..., :B] for v, x in out.items()}
+                       if raw_output else _unpad_batch(out, B))
+            return out
+        assert not raw_output
         return jax.vmap(self._render)(states)
 
     def _step_batched(self, carry: EnvCarry, action):
@@ -189,13 +207,21 @@ class BatchedEnv:
         else:
             state = jax.vmap(physics.control_step,
                              in_axes=(0, 0))(carry.state, action)
-        raw = self._render_batched(state)
-        frames = jax.vmap(
-            functools.partial(preproc.push_frames, self.preproc))(
-                carry.frames, raw) if not self.preproc.raw else {}
-        obs = jax.vmap(
-            functools.partial(preproc.observation, self.preproc))(
-                frames, raw) if not self.preproc.raw else raw
+        if self._cf and self.render_enabled:
+            raw = self._render_batched(state, raw_output=True)
+            t0 = state.t[0]          # lockstep scalar phase
+            frames = preproc.push_frames_cf(self.preproc, carry.frames,
+                                            raw, t0)
+            obs = preproc.observation_cf(self.preproc, frames, t0,
+                                         self.preproc.res)
+        else:
+            raw = self._render_batched(state)
+            frames = jax.vmap(
+                functools.partial(preproc.push_frames, self.preproc))(
+                    carry.frames, raw) if not self.preproc.raw else {}
+            obs = jax.vmap(
+                functools.partial(preproc.observation, self.preproc))(
+                    frames, raw) if not self.preproc.raw else raw
         done = state.t >= self.max_episode_steps
         score = jnp.where(done, jax.vmap(self.task.score_fn)(state), 0.0)
         if self.debug_reward:

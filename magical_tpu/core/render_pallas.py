@@ -49,8 +49,13 @@ from magical_tpu import constants as C
 from magical_tpu.core import render as R
 from magical_tpu.geometry import NV
 
-ENV_TILE = 128          # envs per program (lane axis)
-PIX_TILE = 256          # pixels per program (sublane axis chunks of 8)
+# Tile defaults from the round-4 v5e sweep (scripts/probe_render_obs.py,
+# MoveToCorner LoRes4E at 4096 envs): ms/frame-batch by (env, pix) tile:
+# (128,256) 4.9, (128,512) 4.1, (256,256) 3.6, (256,512) 3.6,
+# (256,1152) 8.2.  Batches smaller than ENV_TILE are padded up by the
+# caller (api/batched_env.py), so production batches (>=1024) dominate.
+ENV_TILE = 256          # envs per program (lane axis)
+PIX_TILE = 512          # pixels per program (sublane axis chunks of 8)
 
 # Interpret mode runs the kernel through the Pallas interpreter (any
 # backend, incl. CPU) for cross-validation without a TPU; see

@@ -76,16 +76,26 @@ def main(batch=4096, scan_len=20, reps=4):
 
     @jax.jit
     def render_preproc(frames):
-        def body(bufs, _):
-            raw = RP.render_batch_pallas(
-                carry.state, mb, mg, rf, res=96, views=('ego',), aa=True,
-                static_shapes=env.static_shapes)
-            bufs = jax.vmap(functools.partial(
-                preproc.push_frames, env.preproc))(bufs, raw)
-            o = jax.vmap(functools.partial(
-                preproc.observation, env.preproc))(bufs, raw)
+        def body(c, t):
+            bufs = c
+            if env._cf:
+                raw = RP.render_batch_pallas(
+                    carry.state, mb, mg, rf, res=96, views=('ego',),
+                    aa=True, static_shapes=env.static_shapes,
+                    raw_output=True)
+                bufs = preproc.push_frames_cf(env.preproc, bufs, raw, t)
+                o = preproc.observation_cf(env.preproc, bufs, t, 96)
+            else:
+                raw = RP.render_batch_pallas(
+                    carry.state, mb, mg, rf, res=96, views=('ego',),
+                    aa=True, static_shapes=env.static_shapes)
+                bufs = jax.vmap(functools.partial(
+                    preproc.push_frames, env.preproc))(bufs, raw)
+                o = jax.vmap(functools.partial(
+                    preproc.observation, env.preproc))(bufs, raw)
             return bufs, o[0, 0, 0, 0]
-        return jax.lax.scan(body, frames, None, length=scan_len)[0]
+        return jax.lax.scan(body, frames,
+                            jnp.arange(scan_len, dtype=jnp.int32))[0]
 
     @jax.jit
     def full(c):

@@ -143,3 +143,30 @@ def test_render_kernel_hi_interpret_matches_xla_hi():
         frac_diff = (a != b).mean()
         assert frac_diff < 1e-3, (view, frac_diff)
         assert np.abs(a - b).max() <= 16, (view, np.abs(a - b).max())
+
+
+def test_batched_env_cf_obs_path_interpret():
+    """End-to-end: BatchedEnv with the Pallas renderer (interpreter) and
+    the round-4 channel-major circular frame buffers produces the same
+    observations as the XLA path, within renderer agreement."""
+    from magical_tpu.api.batched_env import BatchedEnv
+    from magical_tpu.core import render_pallas as RP
+
+    B = 8
+    with _interpret(RP):
+        env_p = BatchedEnv('MoveToRegion-Demo-LoRes3EA-v0',
+                           physics='xla', renderer='pallas')
+        assert env_p._cf
+        env_x = BatchedEnv('MoveToRegion-Demo-LoRes3EA-v0',
+                           physics='xla', renderer='xla')
+        keys = jax.random.split(jax.random.PRNGKey(3), B)
+        cp, op = env_p.reset(keys)
+        cx, ox = env_x.reset(keys)
+        assert op.shape == ox.shape == (B, 96, 96, 12)
+        for t in range(5):
+            acts = jnp.full((B,), A['UpOpen'], jnp.int32)
+            cp, op, *_ = env_p.step(cp, acts)
+            cx, ox, *_ = env_x.step(cx, acts)
+        d = np.abs(np.asarray(op).astype(int) - np.asarray(ox).astype(int))
+        assert d.mean() < 0.5, d.mean()          # AA-edge disagreement only
+        assert (d >= 16).mean() < 2e-3, (d >= 16).mean()

@@ -144,3 +144,62 @@ def test_pad_batch_smaller_than_tile():
     assert int(out['a'][16]) == 0
     small = _pad_batch(x, 3)
     assert small['a'].shape[0] == 11
+
+
+def test_cf_frame_path_matches_nhwc_path():
+    """The round-4 channel-major circular-buffer fast path must produce
+    byte-identical observations to the reference NHWC rolling-copy path
+    for every preprocessor, across enough steps to wrap the circular
+    buffer twice."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magical_tpu.core import preproc
+
+    B, res = 4, 8
+    pix = res * res
+    rng = np.random.default_rng(0)
+
+    def mk_raw(t):
+        # distinct per-step frames, both layouts
+        cf = {v: jnp.asarray(rng.integers(
+            0, 255, (3, pix, B), dtype=np.uint8))
+            for v in ('allo', 'ego')}
+        nhwc = {v: jnp.transpose(cf[v], (2, 1, 0)).reshape(B, res, res, 3)
+                for v in cf}
+        return cf, nhwc
+
+    for name in preproc.AVAILABLE_PREPROCESSORS:
+        spec = preproc.PREPROCESSORS[name]
+        spec = preproc.PreprocSpec(**{**spec.__dict__, 'res': res})
+        cf0, nhwc0 = mk_raw(0)
+        cf_bufs = preproc.init_frames_cf(
+            spec, {v: cf0[v] for v in spec.views})
+        ref_bufs = jax.vmap(functools.partial(
+            preproc.init_frames, spec))({v: nhwc0[v] for v in spec.views})
+        obs_cf = preproc.observation_cf(spec, cf_bufs, jnp.int32(0), res)
+        obs_ref = jax.vmap(functools.partial(
+            preproc.observation, spec))(ref_bufs,
+                                        {v: nhwc0[v] for v in spec.views})
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), obs_cf, obs_ref)
+        for t in range(1, 9):
+            cft, nhwct = mk_raw(t)
+            cf_bufs = preproc.push_frames_cf(
+                spec, cf_bufs, {v: cft[v] for v in spec.views},
+                jnp.int32(t))
+            ref_bufs = jax.vmap(functools.partial(
+                preproc.push_frames, spec))(
+                    ref_bufs, {v: nhwct[v] for v in spec.views})
+            obs_cf = preproc.observation_cf(spec, cf_bufs,
+                                            jnp.int32(t), res)
+            obs_ref = jax.vmap(functools.partial(
+                preproc.observation, spec))(
+                    ref_bufs, {v: nhwct[v] for v in spec.views})
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)), obs_cf, obs_ref)
