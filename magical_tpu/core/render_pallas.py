@@ -75,7 +75,8 @@ def _edge_sdf(px, py, ax, ay, bx, by):
 
 
 def _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref, act_ref,
-                     ybb_ref, px, py, slab_ylo, slab_yhi, *, meta, res, aa):
+                     ybb_ref, px, py, slab_ylo, slab_yhi, *, meta, res, aa,
+                     xbb_ref=None, slab_xlo=None, slab_xhi=None):
     """Blend every display-list prim into ``out_ref`` ((3, npix, E) VMEM)
     over the given pixel-centre grids.  Shared by the lo (direct 96²,
     analytic AA) and hi (384² hard-edge supersample) kernels."""
@@ -179,9 +180,12 @@ def _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref, act_ref,
         if p < 2:
             blend()                 # arena fill+border span every slab
         else:
-            hit = jnp.any((ybb_ref[p, 1, 0, :] >= slab_ylo)
-                          & (ybb_ref[p, 0, 0, :] <= slab_yhi))
-            pl.when(hit)(blend)
+            hit = ((ybb_ref[p, 1, 0, :] >= slab_ylo)
+                   & (ybb_ref[p, 0, 0, :] <= slab_yhi))
+            if xbb_ref is not None:
+                hit &= ((xbb_ref[p, 1, 0, :] >= slab_xlo)
+                        & (xbb_ref[p, 0, 0, :] <= slab_xhi))
+            pl.when(jnp.any(hit))(blend)
 
 
 def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
@@ -224,6 +228,48 @@ def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
         out_ref[ch] = jnp.floor(
             jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5
         ).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _render_kernel_2d(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
+                      ybb_ref, xbb_ref, out_ref, scratch, *, meta, res,
+                      aa, row_tile, col_tile):
+    """Lo-fidelity kernel over 2D pixel tiles: like _render_kernel but
+    the grid walks (env, row-band, col-band) so prims cull by BOTH
+    bbox axes — blocks and robot parts are ~11-30 px wide, so a column
+    band misses most of them where a full-width row slab cannot.
+    out_ref: (3, row_tile, col_tile, E) uint8;
+    scratch: (3, row_tile * col_tile, E) f32."""
+    env_tile = out_ref.shape[-1]
+    resf = jnp.float32(res)
+    npix = row_tile * col_tile
+
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+    rf = r.astype(jnp.float32)
+    cf = c.astype(jnp.float32)
+    pid = jax.lax.broadcasted_iota(
+        jnp.int32, (npix, env_tile), 0).astype(jnp.float32)
+    rowf = rf * row_tile + jnp.floor(pid / jnp.float32(col_tile))
+    colf = cf * col_tile + (pid - jnp.floor(pid / jnp.float32(col_tile))
+                            * jnp.float32(col_tile))
+    px = colf + 0.5
+    py = resf - rowf - 0.5
+
+    slab_ylo = resf - (rf * row_tile + (row_tile - 1)) - 0.5
+    slab_yhi = resf - rf * row_tile - 0.5
+    slab_xlo = cf * col_tile + 0.5
+    slab_xhi = cf * col_tile + (col_tile - 1) + 0.5
+
+    _composite_prims(scratch, verts_ref, nv_ref, rad_ref, col_ref,
+                     act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
+                     meta=meta, res=res, aa=aa,
+                     xbb_ref=xbb_ref, slab_xlo=slab_xlo,
+                     slab_xhi=slab_xhi)
+    for ch in range(3):
+        out_ref[ch] = jnp.floor(
+            jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5
+        ).astype(jnp.int32).astype(jnp.uint8).reshape(
+            row_tile, col_tile, env_tile)
 
 
 def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
@@ -291,7 +337,7 @@ def _screen_verts(wverts, states, view, res):
 def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                         res=96, views=('ego',), aa=True, fidelity=None,
                         env_tile=None, pix_tile=None, static_shapes=None,
-                        raw_output=False):
+                        raw_output=False, tiles2d=None):
     """Batched render via the Pallas kernels.  `states`: batched
     EnvState.  Returns {view: (B, res, res, 3) uint8}.
 
@@ -343,6 +389,55 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
         ybb = jnp.stack([ymin, ymax], -1)                    # (B, P, 2)
         verts_in = jnp.moveaxis(sv, 0, -1)                   # (P,NV,2,B)
         ybb_in = jnp.moveaxis(ybb, 0, -1)[:, :, None, :]     # (P,2,1,B)
+
+        if tiles2d and not hi:
+            row_tile, col_tile = tiles2d
+            assert res % row_tile == 0 and res % col_tile == 0
+            xs = sv[..., 0]
+            xmin = xs.min(axis=2) - rad_px - margin[None, :]
+            xmax = xs.max(axis=2) + rad_px + margin[None, :]
+            xbb = jnp.stack([xmin, xmax], -1)
+            xbb_in = jnp.moveaxis(xbb, 0, -1)[:, :, None, :]
+            kernel = functools.partial(
+                _render_kernel_2d, meta=meta, res=res, aa=aa,
+                row_tile=row_tile, col_tile=col_tile)
+            grid = (B // env_tile, res // row_tile, res // col_tile)
+
+            def pspec3(*block):
+                return pl.BlockSpec(
+                    block, lambda e, r, c: (0,) * (len(block) - 1) + (e,),
+                    memory_space=pltpu.VMEM)
+
+            img = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pspec3(P, NV, 2, env_tile),
+                    pspec3(P, 1, 1, env_tile),
+                    pspec3(P, 1, 1, env_tile),
+                    pspec3(P, 3, 1, env_tile),
+                    pspec3(P, 1, 1, env_tile),
+                    pspec3(P, 2, 1, env_tile),
+                    pspec3(P, 2, 1, env_tile),
+                ],
+                out_specs=pl.BlockSpec(
+                    (3, row_tile, col_tile, env_tile),
+                    lambda e, r, c: (0, r, c, e),
+                    memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((3, res, res, B),
+                                               jnp.uint8),
+                scratch_shapes=[pltpu.VMEM(
+                    (3, row_tile * col_tile, env_tile), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=('parallel',) * 3,
+                    vmem_limit_bytes=100 * 2 ** 20),
+                interpret=INTERPRET,
+            )(verts_in, nv_in, rad_in, col_in, act_in, ybb_in, xbb_in)
+            if raw_output:
+                out[view] = img.reshape(3, n_pix, B)
+            else:
+                out[view] = jnp.transpose(img, (3, 1, 2, 0))
+            continue
 
         if hi:
             kernel = functools.partial(_render_kernel_hi, meta=meta,

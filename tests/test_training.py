@@ -115,3 +115,38 @@ def test_gail_iteration_runs_and_updates():
     assert not np.allclose(p0, p1)
     assert not np.allclose(d0, d1)
     assert np.isfinite(p1).all() and np.isfinite(d1).all()
+
+
+@pytest.mark.slow
+def test_gail_improves_over_random():
+    """VERDICT r3 item 6: scripted expert on MoveToRegion-Demo -> GAIL
+    iterations -> greedy rollouts beat the random-policy score by a
+    clear margin (the reference paper's harder baseline half;
+    README.md:30-39, evaluation.py:44-98)."""
+    env = BatchedEnv('MoveToRegion-Demo-LoRes4E-v0')
+    ds_obs, ds_act, expert_scores = _collect_demos(env, 24)
+    assert expert_scores.mean() >= 0.9
+
+    def eval_policy(policy, seed=9, n=32):
+        keys = jax.random.split(jax.random.PRNGKey(seed), n)
+        carry, obs = env.reset(keys)
+        for t in range(env.max_episode_steps):
+            act = policy(obs, jax.random.PRNGKey(t))
+            carry, obs, rew, done, info = env.step(carry, act)
+        return float(np.asarray(info['eval_score']).mean())
+
+    rand_score = eval_policy(
+        lambda obs, k: jax.random.randint(k, (obs.shape[0],), 0, 18))
+
+    trainer = GAILTrainer(env, obs_shape=ds_obs.shape[1:], rollout_len=40)
+    state = trainer.train(jax.random.PRNGKey(0), ds_obs, ds_act,
+                          iterations=100, batch_envs=32, verbose=False)
+
+    def greedy(obs, k):
+        logits, _ = trainer.policy.apply(state.policy_params, obs)
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+
+    gail_score = eval_policy(jax.jit(greedy))
+    # MoveToRegion random score is ~0.0-0.1; GAIL must clear it by a
+    # real margin, not noise
+    assert gail_score >= rand_score + 0.2, (gail_score, rand_score)
