@@ -155,6 +155,11 @@ class GAILTrainer:
 
         (loss, acc), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.disc_params)
+        # adversarial balance: freeze the discriminator while it is
+        # already winning decisively — an overconfident D gives the
+        # policy a near-constant reward landscape
+        scale = jnp.where(acc > 0.9, 0.0, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, dopt = self.disc_tx.update(grads, state.disc_opt)
         dp = optax.apply_updates(state.disc_params, updates)
         return state.replace(disc_params=dp, disc_opt=dopt), \
@@ -163,18 +168,22 @@ class GAILTrainer:
     # -- outer loop ---------------------------------------------------------
 
     def train(self, key, expert_obs, expert_acts, iterations=10,
-              batch_envs=64, disc_batch=256, verbose=True):
+              batch_envs=64, disc_batch=256, ppo_epochs=4, verbose=True):
         k0, key = jax.random.split(key)
         state = self.init(k0)
-        keys = jax.random.split(key, batch_envs)
-        carry, obs = self.env.reset(keys)
         expert_obs = jnp.asarray(expert_obs)
         expert_acts = jnp.asarray(expert_acts)
         rng = np.random.default_rng(0)
         for it in range(iterations):
-            key, k1 = jax.random.split(key)
+            key, k1, k2 = jax.random.split(key, 3)
+            # fresh episodes every iteration: the batched env has no
+            # auto-reset (episodes are fixed-length TimeLimit), so
+            # rollouts must not run past max_episode_steps
+            keys = jax.random.split(k2, batch_envs)
+            carry, obs = self.env.reset(keys)
             carry, obs, traj = self._collect(state, carry, obs, k1)
-            state, pm = self._ppo_update(state, traj)
+            for _ in range(ppo_epochs):
+                state, pm = self._ppo_update(state, traj)
             flat = lambda x: np.asarray(x).reshape(
                 (-1,) + tuple(x.shape[2:]))
             p_obs, p_act = flat(traj['obs']), flat(traj['act'])
