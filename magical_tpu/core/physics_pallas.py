@@ -1282,23 +1282,20 @@ def _build(mb: int, phys_steps: int, iterations: int, env_tile: int):
 
 
 def tile_for(mb: int) -> int:
-    """Lane-tile choice per block count, from the v5e sweep
+    """Lane-tile choice per block count, from the v5e sweeps
     (scripts/probe_physics_tiles.py): bigger lane tiles fill more of
     each (rows, E) vector op — the joint solve is issue-bound on
-    (1, E) rows — while every (KC/ka/kb, E) scratch and temporary
-    scales with the tile, so the big candidate sets run narrower
-    (ClusterColour at 256 lanes SIGKILLs the Mosaic helper).
-    Measured ms/step at 4096 envs: mb=1 4.68/3.77/3.44 at
-    256/512/1024; mb=4 27.3/19.3 at 256/512; mb=8 100.3/91.6 at
-    128/256; mb=10 154 at 128."""
+    (1, E) rows — while the candidate/segment temporaries scale with
+    the tile.  Round-4 numbers (flattened segment narrowphase),
+    ms/step at 4096 envs: mb=1 1.55 at 1024; mb=8 13.7/12.9 at
+    128/256; mb=10 19.6/18.1 at 128/256.  The r3 3D-SAT kernel
+    SIGKILLed the remote Mosaic helper at 256 lanes; the segment
+    kernel is far smaller and compiles reliably there."""
     if mb <= 1:
         return 1024
     if mb <= 4:
         return 512
-    # mb=8 runs ~10% faster at 256 lanes standalone, but embedded in a
-    # rollout scan the 256-lane program SIGKILLs the remote compile
-    # helper (BENCH_DETAIL r3); 128 compiles reliably everywhere.
-    return 128
+    return 256
 
 
 def control_step_pallas(state: EnvState, action,
