@@ -54,9 +54,20 @@ def measure(env_name='MoveToCorner-Demo-LoRes4E-v0', batch=4096,
             B = o.shape[0]
             return jnp.dot(o.reshape(B, -1).astype(jnp.float32), w).sum()
     else:
+        # dict obs get the same position-weighted dot per leaf — an
+        # unweighted sum could be computed without materialising the
+        # NHWC view, overstating LoResStack throughput
         def consume(o):
-            return sum(jnp.sum(x.astype(jnp.float32))
-                       for x in o.values())
+            tot = 0.0
+            for x in o.values():
+                B = x.shape[0]
+                n = 1
+                for d in x.shape[1:]:
+                    n *= d
+                wd = jnp.mod(jnp.arange(n, dtype=jnp.float32), 7.0) + 1.0
+                tot += jnp.dot(
+                    x.reshape(B, -1).astype(jnp.float32), wd).sum()
+            return tot
 
     @jax.jit
     def multi(carry):

@@ -82,6 +82,9 @@ def main(argv=None):
                         '(reference runs its human loop at env.fps=8)')
     p.add_argument('--save-frames', metavar='DIR', default=None,
                    help='also dump each allo frame as a PPM image')
+    p.add_argument('--serve-host', default='127.0.0.1',
+                   help='bind address for --serve (default loopback; '
+                        'set 0.0.0.0 to expose deliberately)')
     p.add_argument('--serve', metavar='PORT', type=int, default=None,
                    help='real-time interactive viewer/teleop over HTTP: '
                         'streams frames to a browser page with arrow-key '
@@ -93,7 +96,7 @@ def main(argv=None):
     if args.serve:
         from magical_tpu.tools.web_viewer import serve
         serve(args.env_name, port=args.serve, record_dir=args.record,
-              fps=args.fps, seed=args.seed)
+              fps=args.fps, seed=args.seed, host=args.serve_host)
         return
 
     import magical_tpu

@@ -114,8 +114,26 @@ class BatchedEnv:
         # 5e-3).  The XLA fallback is not even viable at scale for the
         # big tables (its padded candidate gathers OOM HBM at B=512),
         # so Pallas physics is now the TPU default for every task.
+        requested_physics = physics
         if physics == 'auto':
             physics = 'pallas' if (on_tpu and not no_pallas) else 'xla'
+        if physics == 'pallas':
+            # Kernel-domain guard: the Pallas narrowphase statically
+            # bounds convex parts at NVK=5 verts (star tips at 3).  No
+            # registered env exceeds it (entities.py:568-574), but the
+            # API accepts arbitrary task tables — a hexagon/octagon slot
+            # must never silently corrupt a kernel run.
+            from magical_tpu.core import physics_pallas as _PPchk
+            bad = _PPchk.unsupported_shape_types(
+                self.task.reachable_shape_types(self.flags))
+            if bad:
+                names = sorted(C.SHAPE_TYPE_NAMES[b] for b in bad)
+                if requested_physics == 'pallas':
+                    raise ValueError(
+                        f'{env_name}: shapes {names} exceed the Pallas '
+                        f'kernel vertex bound (NVK={_PPchk.NVK}); use '
+                        f"physics='xla' for this env")
+                physics = 'xla'
         # both fidelities have TPU-validated kernels (lo: analytic AA;
         # hi: hard 4x supersample + box mean, scripts/validate_round3_tpu.py)
         if renderer == 'auto':
@@ -209,7 +227,25 @@ class BatchedEnv:
                              in_axes=(0, 0))(carry.state, action)
         if self._cf and self.render_enabled:
             raw = self._render_batched(state, raw_output=True)
-            t0 = state.t[0]          # lockstep scalar phase
+            # LOCKSTEP INVARIANT: every env in the batch shares the same
+            # step count — episodes are fixed-length TimeLimit and reset
+            # re-creates the whole batch, so t is uniform by
+            # construction.  The circular frame-buffer phase is keyed on
+            # the batch-scalar t[0]; a future per-env reset would need a
+            # per-env phase instead.  MAGICAL_TPU_DEBUG_LOCKSTEP=1 adds
+            # a host-side assert so any desync fails loudly instead of
+            # silently assembling frame stacks from wrong steps.
+            t0 = state.t[0]
+            import os
+            if os.environ.get('MAGICAL_TPU_DEBUG_LOCKSTEP'):
+                def _assert_lockstep(t):
+                    import numpy as _np
+                    tmin, tmax = int(_np.min(t)), int(_np.max(t))
+                    assert tmin == tmax, (
+                        f'BatchedEnv lockstep violated: t in '
+                        f'[{tmin}, {tmax}] — circular frame-buffer '
+                        f'phase would be wrong for the whole batch')
+                jax.debug.callback(_assert_lockstep, state.t)
             frames = preproc.push_frames_cf(self.preproc, carry.frames,
                                             raw, t0)
             obs = preproc.observation_cf(self.preproc, frames, t0,

@@ -53,6 +53,25 @@ NVK = 5
 ENV_TILE = 256
 BIG = 1e9
 
+
+def unsupported_shape_types(shape_codes):
+    """Subset of `shape_codes` whose convex decomposition does NOT fit
+    the kernel's static vertex bounds (core sub-shape <= NVK verts, star
+    tips <= 3).  Hexagon (6) and octagon (8) land here; every shape a
+    registered env can instantiate (entities.py:568-574) fits.
+    BatchedEnv uses this to force the XLA path rather than let an
+    oversized shape silently corrupt a kernel run."""
+    bad = set()
+    for code in shape_codes:
+        nv = G.BLOCK_SUB_NV[int(code)]
+        act = G.BLOCK_SUB_ACTIVE[int(code)]
+        if act[0] and nv[0] > NVK:
+            bad.add(int(code))
+        for k in range(1, G.KSUB):
+            if act[k] and nv[k] > 3:
+                bad.add(int(code))
+    return bad
+
 # Interpret mode runs the kernel through the Pallas interpreter (any
 # backend, no Mosaic) — used to cross-validate the kernel against the
 # XLA path in the default CPU test suite.

@@ -85,6 +85,22 @@ class TaskDef:
         table += [None] * (self.max_blocks - len(table))
         return tuple(table)
 
+    def reachable_shape_types(self, flags: Flags):
+        """Every shape-type code an env with these flags can instantiate.
+
+        Shape/count randomisation draws from RAND_SHAPE_TYPES (the
+        reference's SHAPE_TYPES subset, entities.py:568-574); fixed
+        slots contribute their default codes.  Used by BatchedEnv to
+        check the Pallas kernel's vertex-bound domain (NVK)."""
+        from magical_tpu import constants as C
+        codes = set()
+        if self.default_shapes is not None:
+            act = self.default_active or (True,) * len(self.default_shapes)
+            codes |= {int(s) for s, a in zip(self.default_shapes, act) if a}
+        if flags.shape or flags.count:
+            codes |= {int(s) for s in C.RAND_SHAPE_TYPES}
+        return codes
+
 
 # Standard variant->flag tables ---------------------------------------------
 

@@ -197,7 +197,7 @@ class Session:
 
 
 def serve(env_name, port=8712, record_dir=None, fps=None, seed=None,
-          open_msg=True):
+          open_msg=True, host='127.0.0.1'):
     session = Session(env_name, record_dir=record_dir, fps=fps, seed=seed)
 
     class Handler(BaseHTTPRequestHandler):
@@ -242,7 +242,9 @@ def serve(env_name, port=8712, record_dir=None, fps=None, seed=None,
             else:
                 self._send(404, 'text/plain', b'not found')
 
-    server = ThreadingHTTPServer(('0.0.0.0', port), Handler)
+    # loopback by default: the viewer can teleop the env and (with
+    # --record) write demo files, so exposing it must be deliberate
+    server = ThreadingHTTPServer((host, port), Handler)
     stepper = threading.Thread(target=session.run, daemon=True)
     stepper.start()
     if open_msg:

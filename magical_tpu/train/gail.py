@@ -140,8 +140,23 @@ class GAILTrainer:
 
     # -- discriminator ------------------------------------------------------
 
-    def _disc_update_impl(self, state: GAILState, pol_obs, pol_act,
-                          exp_obs, exp_act):
+    def _disc_update_impl(self, state: GAILState, traj_obs, traj_act,
+                          idx_p, exp_obs, exp_act, idx_e):
+        # minibatches are gathered ON DEVICE from the full rollout /
+        # expert arrays (indices sampled on host are the only transfer);
+        # the round-4 path flattened the whole rollout to host first —
+        # 283 MB/iteration — which capped GAIL's sample budget.
+        # traj_obs/act may arrive (T, B, ...) straight from _collect or
+        # already flattened to (N, ...).
+        def flat(x, base_ndim):
+            return x.reshape((-1,) + x.shape[2:]) \
+                if x.ndim == base_ndim + 2 else x
+        pol_obs = jnp.take(flat(traj_obs, len(self.obs_shape)),
+                           idx_p, axis=0)
+        pol_act = jnp.take(flat(traj_act, 0), idx_p, axis=0)
+        exp_obs = jnp.take(exp_obs, idx_e, axis=0)
+        exp_act = jnp.take(exp_act, idx_e, axis=0)
+
         def loss_fn(params):
             pol_logit = self.disc.apply(params, pol_obs, pol_act)
             exp_logit = self.disc.apply(params, exp_obs, exp_act)
@@ -155,13 +170,21 @@ class GAILTrainer:
 
         (loss, acc), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.disc_params)
+
         # adversarial balance: freeze the discriminator while it is
         # already winning decisively — an overconfident D gives the
-        # policy a near-constant reward landscape
-        scale = jnp.where(acc > 0.9, 0.0, 1.0)
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        updates, dopt = self.disc_tx.update(grads, state.disc_opt)
-        dp = optax.apply_updates(state.disc_params, updates)
+        # policy a near-constant reward landscape.  The whole optimizer
+        # step is skipped (params AND Adam moments untouched): merely
+        # zeroing grads would still decay the retained first moment and
+        # keep moving D.
+        def do_update(_):
+            updates, dopt = self.disc_tx.update(grads, state.disc_opt)
+            dp = optax.apply_updates(state.disc_params, updates)
+            return dp, dopt
+
+        dp, dopt = jax.lax.cond(
+            acc > 0.9, lambda _: (state.disc_params, state.disc_opt),
+            do_update, None)
         return state.replace(disc_params=dp, disc_opt=dopt), \
             {'disc_loss': loss, 'disc_acc': acc}
 
@@ -184,17 +207,17 @@ class GAILTrainer:
             carry, obs, traj = self._collect(state, carry, obs, k1)
             for _ in range(ppo_epochs):
                 state, pm = self._ppo_update(state, traj)
-            flat = lambda x: np.asarray(x).reshape(
-                (-1,) + tuple(x.shape[2:]))
-            p_obs, p_act = flat(traj['obs']), flat(traj['act'])
-            idx_p = rng.choice(len(p_act), size=min(disc_batch, len(p_act)),
-                               replace=False)
-            idx_e = rng.choice(len(expert_acts),
-                               size=min(disc_batch, len(expert_acts)),
-                               replace=False)
+            # rollouts stay device arrays; only minibatch INDICES cross
+            # the host boundary (the gather happens inside _disc_update)
+            n_pol = self.rollout_len * batch_envs
+            idx_p = jnp.asarray(rng.choice(
+                n_pol, size=min(disc_batch, n_pol), replace=False))
+            idx_e = jnp.asarray(rng.choice(
+                len(expert_acts),
+                size=min(disc_batch, len(expert_acts)), replace=False))
             state, dm = self._disc_update(
-                state, jnp.asarray(p_obs[idx_p]), jnp.asarray(p_act[idx_p]),
-                expert_obs[idx_e], expert_acts[idx_e])
+                state, traj['obs'], traj['act'], idx_p,
+                expert_obs, expert_acts, idx_e)
             if verbose:
                 print(f'gail it {it}: pg {float(pm["pg"]):+.4f} '
                       f'disc_acc {float(dm["disc_acc"]):.3f}', flush=True)

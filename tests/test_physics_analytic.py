@@ -442,3 +442,26 @@ def test_oracle_matches_pallas_kernel_interpret():
     po = world.positions()
     main = [i for i in range(len(bmap)) if bmap[i] not in (3, 4)]
     np.testing.assert_allclose(px[main], po[main], atol=2e-2)
+
+
+def test_oracle_hexagon_pushed(step):
+    """Hexagon (6 verts — OUTSIDE the Pallas kernel's NVK=5 domain, so
+    it must flow through the XLA path) hit by a moving circle: keeps the
+    6/8-vertex narrowphase code honest even though no registered env
+    instantiates those shapes (entities.py:568-574)."""
+    st = S.place_robot(S.make_initial_state(2, 1), (-0.75, -0.75), 0.0)
+    st = S.place_block(st, 0, (-0.25, 0.3), 0.0, int(C.ShapeType.CIRCLE), 0)
+    st = S.place_block(st, 1, (0.1, 0.3), 0.15,
+                       int(C.ShapeType.HEXAGON), 1)
+    st = st.replace(vel=st.vel.at[BLOCK0].set(
+        jnp.asarray([1.5, 0.0], jnp.float32)))
+    _oracle_compare(st, [IDLE] * 3, tol_pos=1.5e-2, tol_ang=6e-2)
+
+
+def test_oracle_octagon_against_wall(step):
+    """Octagon (8 verts, XLA-path-only) thrown into a wall."""
+    st = S.place_robot(S.make_initial_state(1, 1), (-0.75, -0.75), 0.0)
+    st = S.place_block(st, 0, (0.0, 0.8), 0.1, int(C.ShapeType.OCTAGON), 0)
+    st = st.replace(vel=st.vel.at[BLOCK0].set(
+        jnp.asarray([0.0, 1.0], jnp.float32)))
+    _oracle_compare(st, [IDLE] * 4, tol_pos=1.5e-2, tol_ang=6e-2)

