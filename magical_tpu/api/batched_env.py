@@ -225,7 +225,32 @@ class BatchedEnv:
         else:
             state = jax.vmap(physics.control_step,
                              in_axes=(0, 0))(carry.state, action)
-        if self._cf and self.render_enabled:
+        _cf_fused = False
+        if self._cf and self.render_enabled and self.fidelity == 'lo':
+            from magical_tpu.core import render_pallas as _RPt
+            _cf_fused = B % _RPt.ENV_TILE == 0
+        if _cf_fused:
+            # Fused fast path: the render kernel writes the new frame
+            # STRAIGHT into slot (t mod depth) of the circular buffers
+            # (aliased output + scalar-prefetch index map) — no
+            # (3, pix, B) intermediate through HBM.  Same lockstep
+            # invariant as below.
+            from magical_tpu.core import render_pallas as RP
+            t0 = state.t[0]
+            import os
+            if os.environ.get('MAGICAL_TPU_DEBUG_LOCKSTEP'):
+                def _assert_lockstep(t):
+                    import numpy as _np
+                    assert int(_np.min(t)) == int(_np.max(t)), \
+                        'BatchedEnv lockstep violated'
+                jax.debug.callback(_assert_lockstep, state.t)
+            frames = RP.render_into_slots_pallas(
+                state, carry.frames, t0, self.task.max_blocks,
+                self.task.max_goals, self.robot_first, self.preproc,
+                res=self.preproc.res, static_shapes=self.static_shapes)
+            obs = preproc.observation_cf(self.preproc, frames, t0,
+                                         self.preproc.res)
+        elif self._cf and self.render_enabled:
             raw = self._render_batched(state, raw_output=True)
             # LOCKSTEP INVARIANT: every env in the batch shares the same
             # step count — episodes are fixed-length TimeLimit and reset

@@ -90,10 +90,16 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
     verts_l, colors_l, nv_l, rad_l, kind_l, lw_l, act_l = \
         [], [], [], [], [], [], []
 
-    def emit(verts, nv, radius, color, kind=KIND_FILL, lw=0.0, active=True):
+    def emit(verts, nv, radius, color, kind=KIND_FILL, lw=0.0, active=True,
+             tag=None):
         if _meta_out is not None:
+            # (kind, lw, static-nv-or-None, structural tag, statically
+            # active) — the tag marks slot pairs the Pallas kernel can
+            # evaluate jointly (arena fill/border share one SDF; the
+            # concentric robot body circles share one distance)
             _meta_out.append(
-                (kind, float(lw), nv if isinstance(nv, int) else None))
+                (kind, float(lw), nv if isinstance(nv, int) else None,
+                 tag, active is True))
         verts_l.append(verts)
         nv_l.append(jnp.asarray(nv, jnp.int32))
         rad_l.append(jnp.asarray(radius, jnp.float32))
@@ -105,9 +111,10 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
     arena_fill, robot_prims = _static_prims()
 
     # 1. arena (entities.py:519-537)
-    emit(jnp.asarray(arena_fill), 4, 0.0, jnp.asarray([1.0, 1.0, 1.0]))
+    emit(jnp.asarray(arena_fill), 4, 0.0, jnp.asarray([1.0, 1.0, 1.0]),
+         tag='arena_fill')
     emit(jnp.asarray(arena_fill), 4, 0.0, jnp.asarray(C.ARENA_GREY),
-         kind=KIND_LINE, lw=ARENA_BORDER_LW)
+         kind=KIND_LINE, lw=ARENA_BORDER_LW, tag='arena_border')
 
     # 2. goal regions (entities.py:790-819): light fill + stippled border
     for g in range(max_goals):
@@ -126,18 +133,20 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
              active=state.goal_active[g])
 
     def emit_robot():
-        # fingers
-        for (kind, side, (verts, nv), colour) in robot_prims:
+        # fingers (outers then inners; same colour within each group)
+        for fi, (kind, side, (verts, nv), colour) in enumerate(robot_prims):
             body = 1 + side
             wv = col.transform_verts(jnp.asarray(verts), state.pos[body],
                                      state.angle[body])
-            emit(wv, nv, 0.0, jnp.asarray(colour))
+            emit(wv, nv, 0.0, jnp.asarray(colour),
+                 tag='finger_outer' if fi < 4 else 'finger_inner')
         # body circles (entities.py:377-386)
         c0 = state.pos[0]
         cpad = jnp.broadcast_to(c0, (NV, 2))
-        emit(cpad, 1, C.ROBOT_RAD, jnp.asarray(C.ROBOT_COLOUR_DARK))
+        emit(cpad, 1, C.ROBOT_RAD, jnp.asarray(C.ROBOT_COLOUR_DARK),
+             tag='body_outer')
         emit(cpad, 1, C.ROBOT_RAD - C.ROBOT_LINE_THICKNESS,
-             jnp.asarray(C.ROBOT_COLOUR))
+             jnp.asarray(C.ROBOT_COLOUR), tag='body_inner')
         # eyes + pupils (entities.py:414-432)
         Rm = col.rot2(state.angle[0])
         for side, x_sign in enumerate((-1.0, 1.0)):
@@ -145,13 +154,13 @@ def build_display_list(state: EnvState, max_blocks: int, max_goals: int,
                                      0.3 * C.ROBOT_RAD])
             eye_c = c0 + Rm @ eye_local
             emit(jnp.broadcast_to(eye_c, (NV, 2)), 1, 0.2 * C.ROBOT_RAD,
-                 jnp.asarray([1.0, 1.0, 1.0]))
+                 jnp.asarray([1.0, 1.0, 1.0]), tag='eye_white')
             pupil_rot = state.angle[3 + side] - state.angle[0]
             Rp = col.rot2(pupil_rot)
             off = Rp @ jnp.asarray([0.0, 0.07 * C.ROBOT_RAD])
             pupil_c = c0 + Rm @ (eye_local + off)
             emit(jnp.broadcast_to(pupil_c, (NV, 2)), 1, 0.12 * C.ROBOT_RAD,
-                 jnp.asarray([0.1, 0.1, 0.1]))
+                 jnp.asarray([0.1, 0.1, 0.1]), tag='pupil')
 
     def emit_blocks():
         # blocks: dark outer parts then bright inner parts

@@ -56,6 +56,7 @@ from magical_tpu.geometry import NV
 # caller (api/batched_env.py), so production batches (>=1024) dominate.
 ENV_TILE = 256          # envs per program (lane axis)
 PIX_TILE = 512          # pixels per program (sublane axis chunks of 8)
+BIG = 1e9               # invalid-face sentinel (never wins the SDF max)
 
 # Interpret mode runs the kernel through the Pallas interpreter (any
 # backend, incl. CPU) for cross-validation without a TPU; see
@@ -63,28 +64,80 @@ PIX_TILE = 512          # pixels per program (sublane axis chunks of 8)
 INTERPRET = os.environ.get('MAGICAL_TPU_PALLAS_INTERPRET', '') == '1'
 
 
-def _edge_sdf(px, py, ax, ay, bx, by):
-    """Signed distance of pixels to the (a->b) face plane (outward left
-    normal for CCW winding), relative to the edge's outward normal."""
-    ex = bx - ax
-    ey = by - ay
-    inv = jax.lax.rsqrt(jnp.maximum(ex * ex + ey * ey, 1e-18))
-    nx = ey * inv
-    ny = -ex * inv
-    return nx * (px - ax) + ny * (py - ay)
+@functools.lru_cache(maxsize=None)
+def _ego_static_overlay(res):
+    """Precomputed RGBA overlay of the robot parts whose EGO-view screen
+    positions are state-independent: the camera follows the robot and
+    derotates the world (gym_render.py:184-200,362-378), so the body
+    circles and the eye whites land on the same pixels every frame.
+    Composites them premultiplied at build time; the kernel blends the
+    whole group in one pass.  (Pupils wobble with the googly-eye angle
+    and fingers articulate — those stay dynamic prims.)
+
+    Returns (overlay (res*res, 4) f32 [Cr, Cg, Cb, A] premultiplied in
+    paint order body_outer, body_inner, eye0, eye1; (ylo, yhi) static
+    y-up bbox for slab culling)."""
+    half = C.ARENA_ZOOM_OUT
+    scale = res / (2.0 * half)
+    # ego screen position of a robot-local point p: the derotation
+    # cancels the body rotation, so g == p (see _screen_verts)
+    def screen(lx, ly):
+        return (lx + half) * scale, (ly + 2.0 * half * 0.15) * scale
+
+    circles = []
+    bx, by = screen(0.0, 0.0)
+    circles.append((bx, by, C.ROBOT_RAD * scale,
+                    np.asarray(C.ROBOT_COLOUR_DARK, np.float32)))
+    circles.append((bx, by, (C.ROBOT_RAD - C.ROBOT_LINE_THICKNESS) * scale,
+                    np.asarray(C.ROBOT_COLOUR, np.float32)))
+    for x_sign in (-1.0, 1.0):
+        ex, ey = screen(x_sign * 0.4 * C.ROBOT_RAD, 0.3 * C.ROBOT_RAD)
+        circles.append((ex, ey, 0.2 * C.ROBOT_RAD * scale,
+                        np.asarray([1.0, 1.0, 1.0], np.float32)))
+
+    pid = np.arange(res * res, dtype=np.float32)
+    row = np.floor(pid / res)
+    colp = pid - row * res
+    qx = colp + 0.5
+    qy = res - row - 0.5
+    Cp = np.zeros((res * res, 3), np.float32)
+    A = np.zeros((res * res,), np.float32)
+    for cx, cy, r, colr in circles:
+        d = np.sqrt((qx - cx) ** 2 + (qy - cy) ** 2) - r
+        a = np.clip(0.5 - d, 0.0, 1.0).astype(np.float32)
+        Cp = Cp * (1.0 - a)[:, None] + colr[None, :] * a[:, None]
+        A = A * (1.0 - a) + a
+    overlay = np.concatenate([Cp, A[:, None]], axis=1)
+    ylo = min(cy - r for _, cy, r, _ in circles) - 1.5
+    yhi = max(cy + r for _, cy, r, _ in circles) + 1.5
+    return overlay.astype(np.float32), (float(ylo), float(yhi))
 
 
-def _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref, act_ref,
-                     ybb_ref, px, py, slab_ylo, slab_yhi, *, meta, res, aa,
-                     xbb_ref=None, slab_xlo=None, slab_xhi=None):
+def _composite_prims(out_ref, verts_ref, edges_ref, nv_ref, rad_ref,
+                     col_ref, act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
+                     *, meta, res, aa, corners, xbb_ref=None,
+                     slab_xlo=None, slab_xhi=None, ov_ref=None,
+                     ov_bounds=None):
     """Blend every display-list prim into ``out_ref`` ((3, npix, E) VMEM)
     over the given pixel-centre grids.  Shared by the lo (direct 96²,
-    analytic AA) and hi (384² hard-edge supersample) kernels."""
-    env_tile = out_ref.shape[-1]
+    analytic AA) and hi (384² hard-edge supersample) kernels.
 
-    out_ref[0] = jnp.full(px.shape, C.BACKGROUND_COLOUR[0], jnp.float32)
-    out_ref[1] = jnp.full(px.shape, C.BACKGROUND_COLOUR[1], jnp.float32)
-    out_ref[2] = jnp.full(px.shape, C.BACKGROUND_COLOUR[2], jnp.float32)
+    Round-5 fast paths (validated vs the XLA reference semantics by the
+    interpret suite — the per-pixel maths are re-associated, so pixels
+    can move by 1 uint8 level at AA boundaries):
+      * edges_ref carries precomputed affine face coefficients
+        (nx, ny, c) with the prim radius folded into c and invalid faces
+        at -BIG, so a face costs 2 FMA + 1 max instead of ~7 ops;
+      * the arena fill+border pair (slots 0/1, identical rects) shares
+        one SDF; the concentric robot-body circles share one distance;
+      * an exact corner test on the convex arena SDF (max of affines on
+        a rectangle is attained at a corner) skips ALL arena maths on
+        slabs strictly inside the arena — the common case for interior
+        rows;
+      * slots the display list emits with a static True `active` skip
+        the activity select.
+    """
+    env_tile = out_ref.shape[-1]
 
     def vx(p, i):
         return verts_ref[p, i, 0, :][None, :]
@@ -92,54 +145,190 @@ def _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref, act_ref,
     def vy(p, i):
         return verts_ref[p, i, 1, :][None, :]
 
-    for p, (kind, lw, nvs) in enumerate(meta):
+    def face_d(p, i, qx, qy):
+        nx = edges_ref[p, i, 0, :][None, :]
+        ny = edges_ref[p, i, 1, :][None, :]
+        c = edges_ref[p, i, 2, :][None, :]
+        return nx * qx + ny * qy + c
+
+    def poly_d(p, n_faces, qx, qy):
+        d = face_d(p, 0, qx, qy)
+        for i in range(1, n_faces):
+            d = jnp.maximum(d, face_d(p, i, qx, qy))
+        return d
+
+    def line_alpha(d, lw):
+        half_lw = max(lw * res / 384.0, 1.0) * 0.5
+        return jnp.clip(half_lw - jnp.abs(d) + 0.5, 0.0, 1.0)
+
+    def fill_alpha(d):
+        if aa:
+            return jnp.clip(0.5 - d, 0.0, 1.0)
+        return (d < 0.0).astype(jnp.float32)
+
+    def blend_alpha(p, alpha):
+        one_m = 1.0 - alpha
+        out_ref[0] = out_ref[0] * one_m + col_ref[p, 0, 0, :][None, :] * alpha
+        out_ref[1] = out_ref[1] * one_m + col_ref[p, 1, 0, :][None, :] * alpha
+        out_ref[2] = out_ref[2] * one_m + col_ref[p, 2, 0, :][None, :] * alpha
+
+    # ---- arena (slots 0 = fill, 1 = border; same rect) ---------------
+    # Corner test: the arena SDF is a max of affine face functions, so
+    # its maximum over the rectangular slab is attained at a slab
+    # corner.  If every env's worst corner is below -1.5 the whole slab
+    # is deep inside: fill alpha is exactly 1 (clip(0.5-d) and d<0
+    # both saturate past -0.5) and border alpha exactly 0 (|d| >= 1 +
+    # half_lw - 0.5 for every supported lw... arena border half_lw is
+    # 0.5 at both 96 and 384), so the slab is solid fill colour.
+    assert meta[0][0] == R.KIND_FILL and meta[0][2] == 4
+    assert meta[1][0] == R.KIND_LINE and meta[1][2] == 4
+    (x0, x1), (y0, y1) = corners
+    worst = None
+    for cxq, cyq in ((x0, y0), (x0, y1), (x1, y0), (x1, y1)):
+        dcor = poly_d(0, 4, cxq, cyq)
+        worst = dcor if worst is None else jnp.maximum(worst, dcor)
+    deep_inside = jnp.all(worst < -1.5)
+
+    @pl.when(deep_inside)
+    def _fast_arena():
+        for ch in range(3):
+            out_ref[ch] = jnp.broadcast_to(
+                col_ref[0, ch, 0, :][None, :], px.shape)
+
+    @pl.when(jnp.logical_not(deep_inside))
+    def _slow_arena():
+        for ch in range(3):
+            out_ref[ch] = jnp.full(px.shape, C.BACKGROUND_COLOUR[ch],
+                                   jnp.float32)
+        d = poly_d(0, 4, px, py)
+        blend_alpha(0, fill_alpha(d))
+        blend_alpha(1, line_alpha(d, meta[1][1]))
+
+    # ---- remaining slots ---------------------------------------------
+    # Group structure harvested from the static meta tags:
+    #  * with the ego overlay active, body circles + eye whites are
+    #    replaced by ONE premultiplied-RGBA blend at the body_outer
+    #    position (the interleaved pupils are provably disjoint from the
+    #    other eye, so hoisting the whites is exact);
+    #  * consecutive same-colour finger quads (4 outers / 4 inners)
+    #    blend once with the union coverage 1 - prod(1 - a_i), which is
+    #    algebraically identical to blending them sequentially.
+    skip = set()
+    finger_runs = {}
+    run = []
+    for p, m in enumerate(meta):
+        if m[3] in ('finger_outer', 'finger_inner'):
+            if run and meta[run[-1]][3] != m[3]:
+                finger_runs[run[0]] = tuple(run)
+                run = []
+            run.append(p)
+        elif run:
+            finger_runs[run[0]] = tuple(run)
+            run = []
+    if run:
+        finger_runs[run[0]] = tuple(run)
+    for first, ps in finger_runs.items():
+        skip.update(ps[1:])
+    if ov_ref is not None:
+        skip.update(p for p, m in enumerate(meta) if m[3] == 'eye_white')
+
+    def prim_alpha(p, kind, lw, nvs, sact):
+        """Coverage of one display slot (no blending)."""
+        radius = rad_ref[p, 0, 0, :][None, :]
+        if nvs == 1:
+            d = jnp.sqrt((px - vx(p, 0)) ** 2
+                         + (py - vy(p, 0)) ** 2) - radius
+        elif nvs is not None:
+            d = poly_d(p, nvs, px, py)
+        else:
+            nv = nv_ref[p, 0, 0, :][None, :]
+            d_circ = jnp.sqrt((px - vx(p, 0)) ** 2
+                              + (py - vy(p, 0)) ** 2) - radius
+            d = jnp.where(nv == 1.0, d_circ, poly_d(p, NV, px, py))
+        alpha = fill_alpha(d) if kind == R.KIND_FILL else line_alpha(d, lw)
+        if not sact:
+            alpha = jnp.where(act_ref[p, 0, 0, :][None, :] > 0.5,
+                              alpha, 0.0)
+        return alpha
+
+    # perf-attribution hook: MAGICAL_TPU_RENDER_PRIM_LIMIT=N composites
+    # only display slots < N (plus the arena) — wrong pixels, used only
+    # by the tile/attribution probes, never in production
+    _limit = int(os.environ.get('MAGICAL_TPU_RENDER_PRIM_LIMIT', 10 ** 9))
+
+    for p, (kind, lw, nvs, tag, sact) in enumerate(meta):
+        if p < 2 or p in skip or p >= _limit:
+            continue
+
+        if p in finger_runs:
+            ps = finger_runs[p]
+
+            def blend_run(ps=ps):
+                one_m = None
+                for q in ps:
+                    kq, lq, nq, _, sq = meta[q]
+                    aq = prim_alpha(q, kq, lq, nq, sq)
+                    one_m = (1.0 - aq) if one_m is None \
+                        else one_m * (1.0 - aq)
+                blend_alpha(ps[0], 1.0 - one_m)
+
+            hit = None
+            for q in ps:
+                hq = ((ybb_ref[q, 1, 0, :] >= slab_ylo)
+                      & (ybb_ref[q, 0, 0, :] <= slab_yhi))
+                if xbb_ref is not None:
+                    hq &= ((xbb_ref[q, 1, 0, :] >= slab_xlo)
+                           & (xbb_ref[q, 0, 0, :] <= slab_xhi))
+                hit = hq if hit is None else (hit | hq)
+            pl.when(jnp.any(hit))(blend_run)
+            continue
+
+        if tag == 'body_outer' and ov_ref is not None:
+            # static ego overlay replaces body pair + eye whites
+            ylo, yhi = ov_bounds
+
+            def blend_overlay():
+                Aov = ov_ref[:, 3:4]
+                one_m = 1.0 - Aov
+                out_ref[0] = out_ref[0] * one_m + ov_ref[:, 0:1]
+                out_ref[1] = out_ref[1] * one_m + ov_ref[:, 1:2]
+                out_ref[2] = out_ref[2] * one_m + ov_ref[:, 2:3]
+
+            pl.when((yhi >= slab_ylo) & (ylo <= slab_yhi))(blend_overlay)
+            skip.add(p + 1)
+            assert meta[p + 1][3] == 'body_inner'
+            continue
+
         radius = rad_ref[p, 0, 0, :][None, :]
         active = act_ref[p, 0, 0, :][None, :]
 
-        def blend(p=p, kind=kind, lw=lw, nvs=nvs, radius=radius,
-                  active=active):
+        def blend(p=p, kind=kind, lw=lw, nvs=nvs, tag=tag, sact=sact,
+                  radius=radius, active=active):
             # ---- signed distance (pixel units) -----------------------
+            if tag == 'body_outer':
+                # concentric pair: one distance, two quantised rings
+                dist = jnp.sqrt((px - vx(p, 0)) ** 2
+                                + (py - vy(p, 0)) ** 2)
+                blend_alpha(p, fill_alpha(dist - radius))
+                blend_alpha(p + 1, fill_alpha(
+                    dist - rad_ref[p + 1, 0, 0, :][None, :]))
+                return
             if nvs == 1:                       # static circle
                 d = jnp.sqrt((px - vx(p, 0)) ** 2
                              + (py - vy(p, 0)) ** 2) - radius
             elif nvs is not None:              # static nvs-gon
-                d = _edge_sdf(px, py, vx(p, 0), vy(p, 0),
-                              vx(p, 1), vy(p, 1))
-                for i in range(1, nvs):
-                    d = jnp.maximum(d, _edge_sdf(
-                        px, py, vx(p, i), vy(p, i),
-                        vx(p, (i + 1) % nvs), vy(p, (i + 1) % nvs)))
-                d = d - radius
+                d = poly_d(p, nvs, px, py)
             else:                              # block slot: env-dependent
                 nv = nv_ref[p, 0, 0, :][None, :]
-                v0x, v0y = vx(p, 0), vy(p, 0)
-                d_circ = jnp.sqrt((px - v0x) ** 2
-                                  + (py - v0y) ** 2) - radius
-                d_poly = jnp.full(px.shape, -1e9, jnp.float32)
-                for i in range(NV):
-                    ax, ay = vx(p, i), vy(p, i)
-                    is_last = (nv - 1.0 == i)
-                    bx = jnp.where(is_last, v0x, vx(p, (i + 1) % NV))
-                    by = jnp.where(is_last, v0y, vy(p, (i + 1) % NV))
-                    ex = bx - ax
-                    ey = by - ay
-                    el2 = ex * ex + ey * ey
-                    inv = jax.lax.rsqrt(jnp.maximum(el2, 1e-18))
-                    d_face = (ey * (px - ax) - ex * (py - ay)) * inv
-                    ok = (i < nv) & (el2 > 1e-18)
-                    d_poly = jnp.where(ok, jnp.maximum(d_poly, d_face),
-                                       d_poly)
-                d = jnp.where(nv == 1.0, d_circ, d_poly - radius)
+                d_circ = jnp.sqrt((px - vx(p, 0)) ** 2
+                                  + (py - vy(p, 0)) ** 2) - radius
+                d = jnp.where(nv == 1.0, d_circ, poly_d(p, NV, px, py))
 
             # ---- coverage -------------------------------------------
             if kind == R.KIND_FILL:
-                if aa:
-                    alpha = jnp.clip(0.5 - d, 0.0, 1.0)
-                else:
-                    alpha = (d < 0.0).astype(jnp.float32)
+                alpha = fill_alpha(d)
             else:
-                half_lw = max(lw * res / 384.0, 1.0) * 0.5
-                alpha = jnp.clip(half_lw - jnp.abs(d) + 0.5, 0.0, 1.0)
+                alpha = line_alpha(d, lw)
 
             if kind == R.KIND_LINE_STIPPLE:
                 # 8 px on / 8 px off along the border, arc length from
@@ -168,28 +357,38 @@ def _composite_prims(out_ref, verts_ref, nv_ref, rad_ref, col_ref, act_ref,
                                - 16.0 * jnp.floor(best_s / 16.0)) < 8.0
                 alpha = alpha * on.astype(jnp.float32)
 
-            alpha = jnp.where(active > 0.5, alpha, 0.0)
-            one_m = 1.0 - alpha
-            cr = col_ref[p, 0, 0, :][None, :]
-            cg = col_ref[p, 1, 0, :][None, :]
-            cb = col_ref[p, 2, 0, :][None, :]
-            out_ref[0] = out_ref[0] * one_m + cr * alpha
-            out_ref[1] = out_ref[1] * one_m + cg * alpha
-            out_ref[2] = out_ref[2] * one_m + cb * alpha
+            if not sact:
+                alpha = jnp.where(active > 0.5, alpha, 0.0)
+            blend_alpha(p, alpha)
 
-        if p < 2:
-            blend()                 # arena fill+border span every slab
-        else:
-            hit = ((ybb_ref[p, 1, 0, :] >= slab_ylo)
-                   & (ybb_ref[p, 0, 0, :] <= slab_yhi))
-            if xbb_ref is not None:
-                hit &= ((xbb_ref[p, 1, 0, :] >= slab_xlo)
-                        & (xbb_ref[p, 0, 0, :] <= slab_xhi))
-            pl.when(jnp.any(hit))(blend)
+        if tag == 'body_outer':
+            skip.add(p + 1)
+            assert meta[p + 1][3] == 'body_inner'
+        hit = ((ybb_ref[p, 1, 0, :] >= slab_ylo)
+               & (ybb_ref[p, 0, 0, :] <= slab_yhi))
+        if xbb_ref is not None:
+            hit &= ((xbb_ref[p, 1, 0, :] >= slab_xlo)
+                    & (xbb_ref[p, 0, 0, :] <= slab_xhi))
+        pl.when(jnp.any(hit))(blend)
 
 
-def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
-                   out_ref, scratch, *, meta, res, aa, pix_tile):
+def _render_kernel(verts_ref, edges_ref, nv_ref, rad_ref, col_ref, act_ref,
+                   ybb_ref, *rest, meta, res, aa, pix_tile,
+                   ov_bounds=None):
+    if ov_bounds is not None:
+        ov_ref, out_ref, scratch = rest
+    else:
+        ov_ref = None
+        out_ref, scratch = rest
+    _render_kernel_body(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
+                        act_ref, ybb_ref, out_ref, scratch, meta=meta,
+                        res=res, aa=aa, pix_tile=pix_tile, ov_ref=ov_ref,
+                        ov_bounds=ov_bounds)
+
+
+def _render_kernel_body(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
+                        act_ref, ybb_ref, out_ref, scratch, *, meta, res,
+                        aa, pix_tile, ov_ref=None, ov_bounds=None):
     """Lo-fidelity kernel: composite one (pix_tile, env_tile) slab of
     the res² image directly (analytic AA) in f32 VMEM scratch, then
     quantise onto the uint8 output (saves 4x of the HBM frame write
@@ -219,9 +418,11 @@ def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
     slab_ylo = resf - row_hi - 0.5
     slab_yhi = resf - row_lo - 0.5
 
-    _composite_prims(scratch, verts_ref, nv_ref, rad_ref, col_ref,
-                     act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
-                     meta=meta, res=res, aa=aa)
+    _composite_prims(scratch, verts_ref, edges_ref, nv_ref, rad_ref,
+                     col_ref, act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
+                     meta=meta, res=res, aa=aa,
+                     corners=((0.5, resf - 0.5), (slab_ylo, slab_yhi)),
+                     ov_ref=ov_ref, ov_bounds=ov_bounds)
     for ch in range(3):
         # render.to_uint8 semantics: floor(clip(x,0,1)*255 + 0.5);
         # Mosaic has no f32->u8 cast, so round-trip through int32
@@ -230,9 +431,9 @@ def _render_kernel(verts_ref, nv_ref, rad_ref, col_ref, act_ref, ybb_ref,
         ).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _render_kernel_2d(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
-                      ybb_ref, xbb_ref, out_ref, scratch, *, meta, res,
-                      aa, row_tile, col_tile):
+def _render_kernel_2d(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
+                      act_ref, ybb_ref, xbb_ref, out_ref, scratch, *, meta,
+                      res, aa, row_tile, col_tile):
     """Lo-fidelity kernel over 2D pixel tiles: like _render_kernel but
     the grid walks (env, row-band, col-band) so prims cull by BOTH
     bbox axes — blocks and robot parts are ~11-30 px wide, so a column
@@ -260,9 +461,10 @@ def _render_kernel_2d(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
     slab_xlo = cf * col_tile + 0.5
     slab_xhi = cf * col_tile + (col_tile - 1) + 0.5
 
-    _composite_prims(scratch, verts_ref, nv_ref, rad_ref, col_ref,
-                     act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
+    _composite_prims(scratch, verts_ref, edges_ref, nv_ref, rad_ref,
+                     col_ref, act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
                      meta=meta, res=res, aa=aa,
+                     corners=((slab_xlo, slab_xhi), (slab_ylo, slab_yhi)),
                      xbb_ref=xbb_ref, slab_xlo=slab_xlo,
                      slab_xhi=slab_xhi)
     for ch in range(3):
@@ -272,8 +474,8 @@ def _render_kernel_2d(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
             row_tile, col_tile, env_tile)
 
 
-def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
-                      ybb_ref, out_ref, scratch, *, meta, res):
+def _render_kernel_hi(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
+                      act_ref, ybb_ref, out_ref, scratch, *, meta, res):
     """Hi-fidelity kernel: the reference pixel pipeline — hard-edge
     coverage at 4x resolution, exact 4x4 box mean down to res²
     (gym_render.py:208-249 no-MSAA GL + cv2.INTER_AREA at ratio 4,
@@ -304,9 +506,10 @@ def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
     slab_ylo = srcf - (4.0 * tf + 3.0) - 0.5
     slab_yhi = srcf - 4.0 * tf - 0.5
 
-    _composite_prims(scratch, verts_ref, nv_ref, rad_ref, col_ref,
-                     act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
-                     meta=meta, res=src, aa=False)
+    _composite_prims(scratch, verts_ref, edges_ref, nv_ref, rad_ref,
+                     col_ref, act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
+                     meta=meta, res=src, aa=False,
+                     corners=((0.5, srcf - 0.5), (slab_ylo, slab_yhi)))
 
     for ch in range(3):
         q = jnp.floor(jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5)
@@ -314,6 +517,33 @@ def _render_kernel_hi(verts_ref, nv_ref, rad_ref, col_ref, act_ref,
         cells = rows.reshape(res, 4, env_tile).sum(axis=1)  # (res, E)
         out_ref[ch] = jnp.floor(cells * (1.0 / 16.0) + 0.5
                                 ).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _edge_coeffs(sv, nv, rad_px):
+    """Precompute affine face coefficients for every display slot.
+
+    sv: (B, P, NV, 2) screen verts; nv: (B, P) vertex counts;
+    rad_px: (B, P) prim radius in pixels.  Returns (B, P, NV, 3) with
+    rows (nx, ny, c) such that the face's signed distance at pixel q is
+    nx*qx + ny*qy + c, the prim radius already folded into c (so the
+    kernel's running max IS the padded SDF), and invalid faces pinned to
+    (0, 0, -BIG) so they never win the max.  Circles (nv == 1) emit no
+    valid faces — the kernel branches on nv for those."""
+    nvb = nv[..., None]                                    # (B, P, 1)
+    idx = jnp.arange(NV)
+    b = sv[:, :, (np.arange(NV) + 1) % NV]                 # next vertex
+    is_last = idx[None, None, :] == nvb - 1
+    b = jnp.where(is_last[..., None], sv[:, :, :1], b)
+    e = b - sv
+    el2 = e[..., 0] ** 2 + e[..., 1] ** 2
+    inv = jax.lax.rsqrt(jnp.maximum(el2, 1e-18))
+    nx = e[..., 1] * inv
+    ny = -e[..., 0] * inv
+    c = -(nx * sv[..., 0] + ny * sv[..., 1]) - rad_px[..., None]
+    valid = (idx[None, None, :] < nvb) & (el2 > 1e-18) & (nvb > 1)
+    return jnp.stack([jnp.where(valid, nx, 0.0),
+                      jnp.where(valid, ny, 0.0),
+                      jnp.where(valid, c, -BIG)], axis=-1)
 
 
 def _screen_verts(wverts, states, view, res):
@@ -370,7 +600,7 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
     margin = np.asarray(
         [1.0 + (0.0 if kind == R.KIND_FILL
                 else max(lw * src_res / 384.0, 1.0) * 0.5)
-         for kind, lw, _ in meta], np.float32)               # (P,)
+         for kind, lw, *_ in meta], np.float32)              # (P,)
 
     def scal(x):                  # (B, P) -> (P, 1, 1, B) f32
         return jnp.moveaxis(x, 0, -1)[:, None, None, :].astype(jnp.float32)
@@ -387,7 +617,9 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
         ymin = ys.min(axis=2) - rad_px - margin[None, :]
         ymax = ys.max(axis=2) + rad_px + margin[None, :]
         ybb = jnp.stack([ymin, ymax], -1)                    # (B, P, 2)
+        edges = _edge_coeffs(sv, display['nv'], rad_px)      # (B,P,NV,3)
         verts_in = jnp.moveaxis(sv, 0, -1)                   # (P,NV,2,B)
+        edges_in = jnp.moveaxis(edges, 0, -1)                # (P,NV,3,B)
         ybb_in = jnp.moveaxis(ybb, 0, -1)[:, :, None, :]     # (P,2,1,B)
 
         if tiles2d and not hi:
@@ -413,6 +645,7 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                 grid=grid,
                 in_specs=[
                     pspec3(P, NV, 2, env_tile),
+                    pspec3(P, NV, 3, env_tile),
                     pspec3(P, 1, 1, env_tile),
                     pspec3(P, 1, 1, env_tile),
                     pspec3(P, 3, 1, env_tile),
@@ -432,7 +665,8 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                     dimension_semantics=('parallel',) * 3,
                     vmem_limit_bytes=100 * 2 ** 20),
                 interpret=INTERPRET,
-            )(verts_in, nv_in, rad_in, col_in, act_in, ybb_in, xbb_in)
+            )(verts_in, edges_in, nv_in, rad_in, col_in, act_in, ybb_in,
+              xbb_in)
             if raw_output:
                 out[view] = img.reshape(3, n_pix, B)
             else:
@@ -447,8 +681,15 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
             scratch = [pltpu.VMEM((3, 4 * src_res, env_tile),
                                   jnp.float32)]
         else:
+            # ego view: the robot body + eye whites sit at static screen
+            # pixels (camera follows + derotates the robot) — blend them
+            # as one precomputed RGBA overlay
+            ov_bounds = None
+            if view == 'ego':
+                overlay_np, ov_bounds = _ego_static_overlay(res)
             kernel = functools.partial(_render_kernel, meta=meta, res=res,
-                                       aa=aa, pix_tile=pix_tile)
+                                       aa=aa, pix_tile=pix_tile,
+                                       ov_bounds=ov_bounds)
             grid = (B // env_tile, n_pix // pix_tile)
             out_block = (3, pix_tile, env_tile)
             scratch = [pltpu.VMEM((3, pix_tile, env_tile), jnp.float32)]
@@ -457,17 +698,26 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
             return pl.BlockSpec(block, lambda e, t: (0,) * (len(block) - 1)
                                 + (e,), memory_space=pltpu.VMEM)
 
+        ins = [verts_in, edges_in, nv_in, rad_in, col_in, act_in, ybb_in]
+        in_specs = [
+            pspec(P, NV, 2, env_tile),
+            pspec(P, NV, 3, env_tile),
+            pspec(P, 1, 1, env_tile),
+            pspec(P, 1, 1, env_tile),
+            pspec(P, 3, 1, env_tile),
+            pspec(P, 1, 1, env_tile),
+            pspec(P, 2, 1, env_tile),
+        ]
+        if not hi and view == 'ego':
+            ins.append(jnp.asarray(overlay_np))
+            in_specs.append(pl.BlockSpec(
+                (pix_tile, 4), lambda e, t: (t, 0),
+                memory_space=pltpu.VMEM))
+
         img = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pspec(P, NV, 2, env_tile),
-                pspec(P, 1, 1, env_tile),
-                pspec(P, 1, 1, env_tile),
-                pspec(P, 3, 1, env_tile),
-                pspec(P, 1, 1, env_tile),
-                pspec(P, 2, 1, env_tile),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(out_block,
                                    lambda e, t: (0, t, e),
                                    memory_space=pltpu.VMEM),
@@ -481,7 +731,7 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
                 dimension_semantics=('parallel', 'parallel'),
                 vmem_limit_bytes=100 * 2 ** 20),
             interpret=INTERPRET,
-        )(verts_in, nv_in, rad_in, col_in, act_in, ybb_in)
+        )(*ins)
 
         # both kernels emit quantised uint8 (render.to_uint8 semantics),
         # so only the (3, pix, env) -> (env, res, res, 3) byte reshuffle
@@ -491,4 +741,134 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
         else:
             out[view] = jnp.transpose(img, (2, 1, 0)).reshape(
                 B, res, res, 3)
+    return out
+
+
+def _render_kernel_into(s_ref, verts_ref, edges_ref, nv_ref, rad_ref,
+                        col_ref, act_ref, ybb_ref, *rest, meta, res, aa,
+                        pix_tile, ov_bounds=None):
+    """Slot-write variant of the lo kernel: identical compositing, but
+    the output IS the circular frame buffer (aliased input), and the
+    out_specs index map drops this program's tile into channel-slot
+    ``phase`` (the scalar-prefetch operand) — push_frames_cf fused away
+    so the frame never round-trips HBM in render layout."""
+    if ov_bounds is not None:
+        ov_ref, _buf_ref, out_ref, scratch = rest
+    else:
+        ov_ref = None
+        _buf_ref, out_ref, scratch = rest
+    _render_kernel_body(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
+                        act_ref, ybb_ref, out_ref, scratch, meta=meta,
+                        res=res, aa=aa, pix_tile=pix_tile, ov_ref=ov_ref,
+                        ov_bounds=ov_bounds)
+
+
+def render_into_slots_pallas(states, bufs, t, max_blocks, max_goals,
+                             robot_first, spec, res=96, aa=True,
+                             static_shapes=None, env_tile=None,
+                             pix_tile=None):
+    """Render the step-``t`` frame of each preproc view DIRECTLY into
+    its channel-major circular frame-buffer slot (lo fidelity).
+
+    bufs: {view: (depth*3, n_pix, B) uint8}; returns the updated bufs.
+    Equivalent to ``push_frames_cf(spec, bufs, render(...raw...), t)``
+    but the 113 MB/step intermediate frame write+read is fused away —
+    each kernel program lands its tile straight in slot ``t % depth``
+    via a scalar-prefetch output index map over the aliased buffer."""
+    env_tile = env_tile or ENV_TILE
+    pix_tile = pix_tile or PIX_TILE
+    display = jax.vmap(
+        functools.partial(R.build_display_list, max_blocks=max_blocks,
+                          max_goals=max_goals, robot_first=robot_first,
+                          static_shapes=static_shapes))(states)
+    meta = R.static_prim_meta(max_blocks, max_goals, robot_first,
+                              static_shapes)
+    B = display['verts'].shape[0]
+    P = display['verts'].shape[1]
+    n_pix = res * res
+    assert B % env_tile == 0 and n_pix % pix_tile == 0
+
+    half = C.ARENA_ZOOM_OUT
+    scale = res / (2.0 * half)
+    rad_px = display['radius'] * scale
+    margin = np.asarray(
+        [1.0 + (0.0 if kind == R.KIND_FILL
+                else max(lw * res / 384.0, 1.0) * 0.5)
+         for kind, lw, *_ in meta], np.float32)
+
+    def scal(x):
+        return jnp.moveaxis(x, 0, -1)[:, None, None, :].astype(jnp.float32)
+
+    nv_in = scal(display['nv'])
+    rad_in = scal(rad_px)
+    act_in = scal(display['active'])
+    col_in = jnp.moveaxis(display['color'], 0, -1)[:, :, None, :]
+
+    out = {}
+    for view in spec.views:
+        sv = _screen_verts(display['verts'], states, view, res)
+        ys = sv[..., 1]
+        ymin = ys.min(axis=2) - rad_px - margin[None, :]
+        ymax = ys.max(axis=2) + rad_px + margin[None, :]
+        ybb = jnp.stack([ymin, ymax], -1)
+        edges = _edge_coeffs(sv, display['nv'], rad_px)
+        verts_in = jnp.moveaxis(sv, 0, -1)
+        edges_in = jnp.moveaxis(edges, 0, -1)
+        ybb_in = jnp.moveaxis(ybb, 0, -1)[:, :, None, :]
+
+        ov_bounds = None
+        ins = [verts_in, edges_in, nv_in, rad_in, col_in, act_in, ybb_in]
+
+        def pspec(*block):
+            return pl.BlockSpec(
+                block, lambda e, tt, s: (0,) * (len(block) - 1) + (e,),
+                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            pspec(P, NV, 2, env_tile),
+            pspec(P, NV, 3, env_tile),
+            pspec(P, 1, 1, env_tile),
+            pspec(P, 1, 1, env_tile),
+            pspec(P, 3, 1, env_tile),
+            pspec(P, 1, 1, env_tile),
+            pspec(P, 2, 1, env_tile),
+        ]
+        if view == 'ego':
+            overlay_np, ov_bounds = _ego_static_overlay(res)
+            ins.append(jnp.asarray(overlay_np))
+            in_specs.append(pl.BlockSpec(
+                (pix_tile, 4), lambda e, tt, s: (tt, 0),
+                memory_space=pltpu.VMEM))
+
+        buf = bufs[view]
+        d = spec.depth(view)
+        assert buf.shape == (3 * d, n_pix, B), (buf.shape, d, n_pix, B)
+        slot_spec = pl.BlockSpec((3, pix_tile, env_tile),
+                                 lambda e, tt, s: (s[0], tt, e),
+                                 memory_space=pltpu.VMEM)
+        ins.append(buf)
+        in_specs.append(slot_spec)
+        phase = jnp.reshape(t % d, (1,)).astype(jnp.int32)
+
+        kernel = functools.partial(_render_kernel_into, meta=meta,
+                                   res=res, aa=aa, pix_tile=pix_tile,
+                                   ov_bounds=ov_bounds)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // env_tile, n_pix // pix_tile),
+            in_specs=in_specs,
+            out_specs=slot_spec,
+            scratch_shapes=[pltpu.VMEM((3, pix_tile, env_tile),
+                                       jnp.float32)],
+        )
+        out[view] = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(buf.shape, jnp.uint8),
+            input_output_aliases={len(ins): 0},   # buf (scalar counts)
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'parallel'),
+                vmem_limit_bytes=100 * 2 ** 20),
+            interpret=INTERPRET,
+        )(phase, *ins)
     return out

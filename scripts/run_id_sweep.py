@@ -76,12 +76,26 @@ def main():
     import magical_tpu
     magical_tpu.register_envs()
     all_ids = list(magical_tpu.ALL_REGISTERED_ENVS)
+    if '--reverse' in sys.argv:
+        # second worker walks the list from the other end; the ledger
+        # dedups, so two workers only collide where they meet
+        all_ids = all_ids[::-1]
     done = load_ledger()
     todo = [i for i in all_ids if i not in done]
-    print(f'{len(done)} already green, {len(todo)} to go '
+    # in-process jit caches accumulate per ID and eventually OOM the
+    # host: cap fresh IDs per process and let a shell loop restart us
+    # (the on-disk compile cache keeps restarts cheap)
+    max_ids = 20
+    for a in sys.argv[1:]:
+        if a.startswith('--max-ids='):
+            max_ids = int(a.split('=')[1])
+    todo = todo[:max_ids]
+    print(f'{len(done)} already green, {len(todo)} this process '
           f'of {len(all_ids)} total', flush=True)
     t0 = time.time()
     for n, env_name in enumerate(todo):
+        if env_name in load_ledger():
+            continue                  # the other worker got there first
         t1 = time.time()
         try:
             run_id(env_name)

@@ -170,3 +170,45 @@ def test_batched_env_cf_obs_path_interpret():
         d = np.abs(np.asarray(op).astype(int) - np.asarray(ox).astype(int))
         assert d.mean() < 0.5, d.mean()          # AA-edge disagreement only
         assert (d >= 16).mean() < 2e-3, (d >= 16).mean()
+
+
+def test_render_into_slots_matches_render_plus_push():
+    """The fused slot-write kernel (render_into_slots_pallas: aliased
+    circular buffer + scalar-prefetch output index map) must produce
+    byte-identical buffers to render(raw) -> push_frames_cf for every
+    phase of the circular buffer."""
+    from magical_tpu.core import preproc
+    from magical_tpu.core import render_pallas as RP
+    from magical_tpu.tasks import ALL_TASKS
+
+    task = ALL_TASKS['MoveToRegion']
+    B = 8
+    spec = preproc.PREPROCESSORS['LoRes3EA']
+    states = jax.jit(jax.vmap(functools.partial(
+        task.reset_fn, flags=task.flags_for('Demo'))))(
+            jax.random.split(jax.random.PRNGKey(2), B))
+    with _interpret(RP):
+        raw0 = RP.render_batch_pallas(
+            states, task.max_blocks, task.max_goals, False, res=96,
+            views=spec.views, aa=True, env_tile=B, pix_tile=1152,
+            raw_output=True)
+        bufs_a = preproc.init_frames_cf(spec, raw0)
+        bufs_b = jax.tree_util.tree_map(lambda x: x, bufs_a)
+        for t in range(1, 6):
+            # vary the state so each frame differs
+            states = states.replace(
+                pos=states.pos.at[:, 0, 0].add(0.02 * t))
+            raw = RP.render_batch_pallas(
+                states, task.max_blocks, task.max_goals, False, res=96,
+                views=spec.views, aa=True, env_tile=B, pix_tile=1152,
+                raw_output=True)
+            bufs_a = preproc.push_frames_cf(spec, bufs_a, raw,
+                                            jnp.int32(t))
+            bufs_b = RP.render_into_slots_pallas(
+                states, bufs_b, jnp.int32(t), task.max_blocks,
+                task.max_goals, False, spec, res=96, env_tile=B,
+                pix_tile=1152)
+            for v in spec.views:
+                np.testing.assert_array_equal(
+                    np.asarray(bufs_a[v]), np.asarray(bufs_b[v]),
+                    err_msg=f'view {v} step {t}')
