@@ -49,13 +49,15 @@ from magical_tpu import constants as C
 from magical_tpu.core import render as R
 from magical_tpu.geometry import NV
 
-# Tile defaults from the round-4 v5e sweep (scripts/probe_render_obs.py,
-# MoveToCorner LoRes4E at 4096 envs): ms/frame-batch by (env, pix) tile:
-# (128,256) 4.9, (128,512) 4.1, (256,256) 3.6, (256,512) 3.6,
-# (256,1152) 8.2.  Batches smaller than ENV_TILE are padded up by the
-# caller (api/batched_env.py), so production batches (>=1024) dominate.
-ENV_TILE = 256          # envs per program (lane axis)
-PIX_TILE = 512          # pixels per program (sublane axis chunks of 8)
+# Tile defaults from the round-5 v5e sweep (/tmp probe, MoveToCorner
+# LoRes4E at 4096 envs, post edge-coeff kernel): (512,128) 2.74 ms,
+# (256,384) 2.84, (512,96) 2.80, (256,512) 3.06, (128,384) 3.04.
+# Narrow 128-px slabs (1.33 rows) make the per-slot y-culling nearly
+# exact, which the cheaper per-face math now exposes.  Batches smaller
+# than ENV_TILE are padded up by the caller (api/batched_env.py), so
+# production batches (>=1024) dominate.
+ENV_TILE = 512          # envs per program (lane axis)
+PIX_TILE = 128          # pixels per program (sublane axis chunks of 8)
 BIG = 1e9               # invalid-face sentinel (never wins the SDF max)
 
 # Interpret mode runs the kernel through the Pallas interpreter (any
@@ -107,7 +109,7 @@ def _ego_static_overlay(res):
         a = np.clip(0.5 - d, 0.0, 1.0).astype(np.float32)
         Cp = Cp * (1.0 - a)[:, None] + colr[None, :] * a[:, None]
         A = A * (1.0 - a) + a
-    overlay = np.concatenate([Cp, A[:, None]], axis=1)
+    overlay = np.concatenate([Cp * 255.0, A[:, None]], axis=1)
     ylo = min(cy - r for _, cy, r, _ in circles) - 1.5
     yhi = max(cy + r for _, cy, r, _ in circles) + 1.5
     return overlay.astype(np.float32), (float(ylo), float(yhi))
@@ -117,7 +119,7 @@ def _composite_prims(out_ref, verts_ref, edges_ref, nv_ref, rad_ref,
                      col_ref, act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
                      *, meta, res, aa, corners, xbb_ref=None,
                      slab_xlo=None, slab_xhi=None, ov_ref=None,
-                     ov_bounds=None):
+                     ov_bounds=None, quant_out=None):
     """Blend every display-list prim into ``out_ref`` ((3, npix, E) VMEM)
     over the given pixel-centre grids.  Shared by the lo (direct 96²,
     analytic AA) and hi (384² hard-edge supersample) kernels.
@@ -172,14 +174,58 @@ def _composite_prims(out_ref, verts_ref, edges_ref, nv_ref, rad_ref,
         out_ref[1] = out_ref[1] * one_m + col_ref[p, 1, 0, :][None, :] * alpha
         out_ref[2] = out_ref[2] * one_m + col_ref[p, 2, 0, :][None, :] * alpha
 
-    # ---- arena (slots 0 = fill, 1 = border; same rect) ---------------
-    # Corner test: the arena SDF is a max of affine face functions, so
-    # its maximum over the rectangular slab is attained at a slab
-    # corner.  If every env's worst corner is below -1.5 the whole slab
-    # is deep inside: fill alpha is exactly 1 (clip(0.5-d) and d<0
-    # both saturate past -0.5) and border alpha exactly 0 (|d| >= 1 +
-    # half_lw - 0.5 for every supported lw... arena border half_lw is
-    # 0.5 at both 96 and 384), so the slab is solid fill colour.
+    # ---- group structure from the static meta tags -------------------
+    #  * with the ego overlay active, body circles + eye whites are
+    #    replaced by ONE premultiplied-RGBA blend at the body_outer
+    #    position (the interleaved pupils are provably disjoint from the
+    #    other eye, so hoisting the whites is exact);
+    #  * same-colour finger quads blend once per group with the union
+    #    coverage 1 - prod(1 - a_i), algebraically identical to blending
+    #    them sequentially; a 4-run splits into (side0,k)/(side1,k)
+    #    pairs — same segment, same height band — because same-colour
+    #    opaque blends commute, which tightens the slab culling.
+    skip = set()
+    finger_groups = {}
+    run = []
+
+    def close_run():
+        if not run:
+            return
+        if len(run) == 4:
+            finger_groups[run[0]] = (run[0], run[2])
+            finger_groups[run[1]] = (run[1], run[3])
+        else:
+            finger_groups[run[0]] = tuple(run)
+        run.clear()
+
+    for p, m in enumerate(meta):
+        if m[3] in ('finger_outer', 'finger_inner'):
+            if run and meta[run[-1]][3] != m[3]:
+                close_run()
+            run.append(p)
+        elif run:
+            close_run()
+    close_run()
+    for first, ps in finger_groups.items():
+        skip.update(q for q in ps if q != first)
+    for p, m in enumerate(meta):
+        if m[3] == 'body_outer':
+            assert meta[p + 1][3] == 'body_inner'
+            skip.add(p + 1)            # handled with its outer
+        if m[3] == 'eye_white' and ov_ref is not None:
+            skip.add(p)                # baked into the overlay
+
+    # perf-attribution hook: MAGICAL_TPU_RENDER_PRIM_LIMIT=N composites
+    # only display slots < N (plus the arena) — wrong pixels, used only
+    # by the tile/attribution probes, never in production
+    _limit = int(os.environ.get('MAGICAL_TPU_RENDER_PRIM_LIMIT', 10 ** 9))
+
+    # ---- arena corner test + per-slot slab hits (cheap (E,) rows) ----
+    # The arena SDF is a max of affine face functions, so its maximum
+    # over the rectangular slab is attained at a slab corner.  If every
+    # env's worst corner is below -1.5 the whole slab is deep inside:
+    # fill alpha is exactly 1 and border alpha exactly 0 (arena border
+    # half_lw is 0.5 at both 96 and 384) — solid fill colour.
     assert meta[0][0] == R.KIND_FILL and meta[0][2] == 4
     assert meta[1][0] == R.KIND_LINE and meta[1][2] == 4
     (x0, x1), (y0, y1) = corners
@@ -189,48 +235,48 @@ def _composite_prims(out_ref, verts_ref, edges_ref, nv_ref, rad_ref,
         worst = dcor if worst is None else jnp.maximum(worst, dcor)
     deep_inside = jnp.all(worst < -1.5)
 
-    @pl.when(deep_inside)
-    def _fast_arena():
-        for ch in range(3):
-            out_ref[ch] = jnp.broadcast_to(
-                col_ref[0, ch, 0, :][None, :], px.shape)
+    def slot_hit(q):
+        h = ((ybb_ref[q, 1, 0, :] >= slab_ylo)
+             & (ybb_ref[q, 0, 0, :] <= slab_yhi))
+        if xbb_ref is not None:
+            h &= ((xbb_ref[q, 1, 0, :] >= slab_xlo)
+                  & (xbb_ref[q, 0, 0, :] <= slab_xhi))
+        return h
 
-    @pl.when(jnp.logical_not(deep_inside))
-    def _slow_arena():
-        for ch in range(3):
-            out_ref[ch] = jnp.full(px.shape, C.BACKGROUND_COLOUR[ch],
-                                   jnp.float32)
-        d = poly_d(0, 4, px, py)
-        blend_alpha(0, fill_alpha(d))
-        blend_alpha(1, line_alpha(d, meta[1][1]))
-
-    # ---- remaining slots ---------------------------------------------
-    # Group structure harvested from the static meta tags:
-    #  * with the ego overlay active, body circles + eye whites are
-    #    replaced by ONE premultiplied-RGBA blend at the body_outer
-    #    position (the interleaved pupils are provably disjoint from the
-    #    other eye, so hoisting the whites is exact);
-    #  * consecutive same-colour finger quads (4 outers / 4 inners)
-    #    blend once with the union coverage 1 - prod(1 - a_i), which is
-    #    algebraically identical to blending them sequentially.
-    skip = set()
-    finger_runs = {}
-    run = []
+    hits = {}
+    vec_hit = None
+    ov_hit = None
     for p, m in enumerate(meta):
-        if m[3] in ('finger_outer', 'finger_inner'):
-            if run and meta[run[-1]][3] != m[3]:
-                finger_runs[run[0]] = tuple(run)
-                run = []
-            run.append(p)
-        elif run:
-            finger_runs[run[0]] = tuple(run)
-            run = []
-    if run:
-        finger_runs[run[0]] = tuple(run)
-    for first, ps in finger_runs.items():
-        skip.update(ps[1:])
-    if ov_ref is not None:
-        skip.update(p for p, m in enumerate(meta) if m[3] == 'eye_white')
+        if p < 2 or p >= _limit or p in skip:
+            continue
+        if m[3] == 'body_outer' and ov_ref is not None:
+            ylo, yhi = ov_bounds
+            ov_hit = (yhi >= slab_ylo) & (ylo <= slab_yhi)
+            continue
+        if p in finger_groups:
+            h = None
+            for q in finger_groups[p]:
+                hq = slot_hit(q)
+                h = hq if h is None else (h | hq)
+        else:
+            h = slot_hit(p)
+        hits[p] = h
+        vec_hit = h if vec_hit is None else (vec_hit | h)
+
+    # trivial slab: deep inside the arena and nothing else to draw —
+    # the output is the quantised fill colour, no f32 work at all
+    trivial = deep_inside
+    if vec_hit is not None:
+        trivial &= jnp.logical_not(jnp.any(vec_hit))
+    if ov_hit is not None:
+        trivial &= jnp.logical_not(ov_hit)
+
+    def quantise_fill():
+        for ch in range(3):
+            q8 = jnp.floor(jnp.clip(col_ref[0, ch, 0, :][None, :],
+                                    0.0, 255.0) + 0.5
+                           ).astype(jnp.int32).astype(jnp.uint8)
+            quant_out[ch] = jnp.broadcast_to(q8, px.shape)
 
     def prim_alpha(p, kind, lw, nvs, sact):
         """Coverage of one display slot (no blending)."""
@@ -251,125 +297,120 @@ def _composite_prims(out_ref, verts_ref, edges_ref, nv_ref, rad_ref,
                               alpha, 0.0)
         return alpha
 
-    # perf-attribution hook: MAGICAL_TPU_RENDER_PRIM_LIMIT=N composites
-    # only display slots < N (plus the arena) — wrong pixels, used only
-    # by the tile/attribution probes, never in production
-    _limit = int(os.environ.get('MAGICAL_TPU_RENDER_PRIM_LIMIT', 10 ** 9))
+    def composite_all():
+        @pl.when(deep_inside)
+        def _fast_arena():
+            for ch in range(3):
+                out_ref[ch] = jnp.broadcast_to(
+                    col_ref[0, ch, 0, :][None, :], px.shape)
 
-    for p, (kind, lw, nvs, tag, sact) in enumerate(meta):
-        if p < 2 or p in skip or p >= _limit:
-            continue
+        @pl.when(jnp.logical_not(deep_inside))
+        def _slow_arena():
+            # fused: bg -> fill -> border as one expression per channel
+            # (single store; algebraically identical to the three-pass
+            # blend, colours are in the 0..255 domain)
+            d = poly_d(0, 4, px, py)
+            af = fill_alpha(d)
+            al = line_alpha(d, meta[1][1])
+            one_m = 1.0 - al
+            for ch in range(3):
+                bg = jnp.float32(255.0 * C.BACKGROUND_COLOUR[ch])
+                cf_ = col_ref[0, ch, 0, :][None, :]
+                cb_ = col_ref[1, ch, 0, :][None, :]
+                out_ref[ch] = ((bg + (cf_ - bg) * af) * one_m
+                               + cb_ * al)
 
-        if p in finger_runs:
-            ps = finger_runs[p]
+        for p, (kind, lw, nvs, tag, sact) in enumerate(meta):
+            if p < 2 or p in skip or p >= _limit:
+                continue
 
-            def blend_run(ps=ps):
-                one_m = None
-                for q in ps:
-                    kq, lq, nq, _, sq = meta[q]
-                    aq = prim_alpha(q, kq, lq, nq, sq)
-                    one_m = (1.0 - aq) if one_m is None \
-                        else one_m * (1.0 - aq)
-                blend_alpha(ps[0], 1.0 - one_m)
+            if p in finger_groups:
+                ps = finger_groups[p]
 
-            hit = None
-            for q in ps:
-                hq = ((ybb_ref[q, 1, 0, :] >= slab_ylo)
-                      & (ybb_ref[q, 0, 0, :] <= slab_yhi))
-                if xbb_ref is not None:
-                    hq &= ((xbb_ref[q, 1, 0, :] >= slab_xlo)
-                           & (xbb_ref[q, 0, 0, :] <= slab_xhi))
-                hit = hq if hit is None else (hit | hq)
-            pl.when(jnp.any(hit))(blend_run)
-            continue
+                def blend_run(ps=ps):
+                    one_m = None
+                    for q in ps:
+                        kq, lq, nq, _, sq = meta[q]
+                        aq = prim_alpha(q, kq, lq, nq, sq)
+                        one_m = (1.0 - aq) if one_m is None \
+                            else one_m * (1.0 - aq)
+                    blend_alpha(ps[0], 1.0 - one_m)
 
-        if tag == 'body_outer' and ov_ref is not None:
-            # static ego overlay replaces body pair + eye whites
-            ylo, yhi = ov_bounds
+                pl.when(jnp.any(hits[p]))(blend_run)
+                continue
 
-            def blend_overlay():
-                Aov = ov_ref[:, 3:4]
-                one_m = 1.0 - Aov
-                out_ref[0] = out_ref[0] * one_m + ov_ref[:, 0:1]
-                out_ref[1] = out_ref[1] * one_m + ov_ref[:, 1:2]
-                out_ref[2] = out_ref[2] * one_m + ov_ref[:, 2:3]
+            if tag == 'body_outer' and ov_ref is not None:
+                # static ego overlay replaces body pair + eye whites
+                def blend_overlay():
+                    Aov = ov_ref[:, 3:4]
+                    one_m = 1.0 - Aov
+                    out_ref[0] = out_ref[0] * one_m + ov_ref[:, 0:1]
+                    out_ref[1] = out_ref[1] * one_m + ov_ref[:, 1:2]
+                    out_ref[2] = out_ref[2] * one_m + ov_ref[:, 2:3]
 
-            pl.when((yhi >= slab_ylo) & (ylo <= slab_yhi))(blend_overlay)
-            skip.add(p + 1)
-            assert meta[p + 1][3] == 'body_inner'
-            continue
+                pl.when(ov_hit)(blend_overlay)
+                continue
 
-        radius = rad_ref[p, 0, 0, :][None, :]
-        active = act_ref[p, 0, 0, :][None, :]
+            def blend(p=p, kind=kind, lw=lw, nvs=nvs, tag=tag, sact=sact):
+                if tag == 'body_outer':
+                    # concentric pair: one distance, two quantised rings
+                    radius = rad_ref[p, 0, 0, :][None, :]
+                    dist = jnp.sqrt((px - vx(p, 0)) ** 2
+                                    + (py - vy(p, 0)) ** 2)
+                    blend_alpha(p, fill_alpha(dist - radius))
+                    blend_alpha(p + 1, fill_alpha(
+                        dist - rad_ref[p + 1, 0, 0, :][None, :]))
+                    return
+                alpha = prim_alpha(p, kind, lw, nvs, sact)
+                if kind == R.KIND_LINE_STIPPLE:
+                    # 8 px on / 8 px off along the border, arc length
+                    # from vertex 0 (nvs is statically 4 for goal
+                    # borders)
+                    best_d2 = jnp.full(px.shape, 1e18, jnp.float32)
+                    best_s = jnp.zeros(px.shape, jnp.float32)
+                    cum = jnp.zeros((1, env_tile), jnp.float32)
+                    for i in range(nvs):
+                        ax, ay = vx(p, i), vy(p, i)
+                        bx, by = vx(p, (i + 1) % nvs), vy(p, (i + 1) % nvs)
+                        ex = bx - ax
+                        ey = by - ay
+                        el2 = jnp.maximum(ex * ex + ey * ey, 1e-18)
+                        el = jnp.sqrt(el2)
+                        tp = jnp.clip(((px - ax) * ex + (py - ay) * ey)
+                                      / el2, 0.0, 1.0)
+                        qx = ax + tp * ex
+                        qy = ay + tp * ey
+                        d2 = (px - qx) ** 2 + (py - qy) ** 2
+                        s_i = cum + tp * el
+                        pick = d2 < best_d2
+                        best_s = jnp.where(pick, s_i, best_s)
+                        best_d2 = jnp.minimum(best_d2, d2)
+                        cum = cum + el
+                    on = jnp.floor(best_s
+                                   - 16.0 * jnp.floor(best_s / 16.0)) < 8.0
+                    alpha = alpha * on.astype(jnp.float32)
+                blend_alpha(p, alpha)
 
-        def blend(p=p, kind=kind, lw=lw, nvs=nvs, tag=tag, sact=sact,
-                  radius=radius, active=active):
-            # ---- signed distance (pixel units) -----------------------
-            if tag == 'body_outer':
-                # concentric pair: one distance, two quantised rings
-                dist = jnp.sqrt((px - vx(p, 0)) ** 2
-                                + (py - vy(p, 0)) ** 2)
-                blend_alpha(p, fill_alpha(dist - radius))
-                blend_alpha(p + 1, fill_alpha(
-                    dist - rad_ref[p + 1, 0, 0, :][None, :]))
-                return
-            if nvs == 1:                       # static circle
-                d = jnp.sqrt((px - vx(p, 0)) ** 2
-                             + (py - vy(p, 0)) ** 2) - radius
-            elif nvs is not None:              # static nvs-gon
-                d = poly_d(p, nvs, px, py)
-            else:                              # block slot: env-dependent
-                nv = nv_ref[p, 0, 0, :][None, :]
-                d_circ = jnp.sqrt((px - vx(p, 0)) ** 2
-                                  + (py - vy(p, 0)) ** 2) - radius
-                d = jnp.where(nv == 1.0, d_circ, poly_d(p, NV, px, py))
+            pl.when(jnp.any(hits[p]))(blend)
 
-            # ---- coverage -------------------------------------------
-            if kind == R.KIND_FILL:
-                alpha = fill_alpha(d)
-            else:
-                alpha = line_alpha(d, lw)
+    if quant_out is None:
+        composite_all()
+        return
 
-            if kind == R.KIND_LINE_STIPPLE:
-                # 8 px on / 8 px off along the border, arc length from
-                # vertex 0 (nvs is statically 4 for goal borders)
-                best_d2 = jnp.full(px.shape, 1e18, jnp.float32)
-                best_s = jnp.zeros(px.shape, jnp.float32)
-                cum = jnp.zeros((1, env_tile), jnp.float32)
-                for i in range(nvs):
-                    ax, ay = vx(p, i), vy(p, i)
-                    bx, by = vx(p, (i + 1) % nvs), vy(p, (i + 1) % nvs)
-                    ex = bx - ax
-                    ey = by - ay
-                    el2 = jnp.maximum(ex * ex + ey * ey, 1e-18)
-                    el = jnp.sqrt(el2)
-                    tp = jnp.clip(((px - ax) * ex + (py - ay) * ey)
-                                  / el2, 0.0, 1.0)
-                    qx = ax + tp * ex
-                    qy = ay + tp * ey
-                    d2 = (px - qx) ** 2 + (py - qy) ** 2
-                    s_i = cum + tp * el
-                    pick = d2 < best_d2
-                    best_s = jnp.where(pick, s_i, best_s)
-                    best_d2 = jnp.minimum(best_d2, d2)
-                    cum = cum + el
-                on = jnp.floor(best_s
-                               - 16.0 * jnp.floor(best_s / 16.0)) < 8.0
-                alpha = alpha * on.astype(jnp.float32)
+    @pl.when(trivial)
+    def _trivial():
+        quantise_fill()
 
-            if not sact:
-                alpha = jnp.where(active > 0.5, alpha, 0.0)
-            blend_alpha(p, alpha)
-
-        if tag == 'body_outer':
-            skip.add(p + 1)
-            assert meta[p + 1][3] == 'body_inner'
-        hit = ((ybb_ref[p, 1, 0, :] >= slab_ylo)
-               & (ybb_ref[p, 0, 0, :] <= slab_yhi))
-        if xbb_ref is not None:
-            hit &= ((xbb_ref[p, 1, 0, :] >= slab_xlo)
-                    & (xbb_ref[p, 0, 0, :] <= slab_xhi))
-        pl.when(jnp.any(hit))(blend)
+    @pl.when(jnp.logical_not(trivial))
+    def _full():
+        composite_all()
+        for ch in range(3):
+            # render.to_uint8 semantics: floor(clip(x,0,1)*255 + 0.5)
+            # evaluated in the 0..255 compositing domain; Mosaic has no
+            # f32->u8 cast, so round-trip through int32
+            quant_out[ch] = jnp.floor(
+                jnp.clip(out_ref[ch], 0.0, 255.0) + 0.5
+            ).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _render_kernel(verts_ref, edges_ref, nv_ref, rad_ref, col_ref, act_ref,
@@ -404,13 +445,17 @@ def _render_kernel_body(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
 
     t = pl.program_id(1)
     tf = t.astype(jnp.float32)
+    # pixel-centre coords: compute the whole chain on a (pix_tile, 1)
+    # column (pixels live on sublanes) and broadcast across the env
+    # lanes once — 512x less arithmetic than full-tile iota math
     pid = (jax.lax.broadcasted_iota(
-        jnp.int32, (pix_tile, env_tile), 0).astype(jnp.float32)
+        jnp.int32, (pix_tile, 1), 0).astype(jnp.float32)
         + jnp.float32(pix_tile) * tf)
     rowf = jnp.floor(pid / resf)
     colf = pid - rowf * resf
-    px = colf + 0.5
-    py = resf - rowf - 0.5                       # y-up pixel centres
+    px = jnp.broadcast_to(colf + 0.5, (pix_tile, env_tile))
+    py = jnp.broadcast_to(resf - rowf - 0.5,
+                          (pix_tile, env_tile))   # y-up pixel centres
 
     # slab y-range (for prim culling)
     row_lo = jnp.floor(tf * pix_tile / resf)
@@ -422,13 +467,8 @@ def _render_kernel_body(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
                      col_ref, act_ref, ybb_ref, px, py, slab_ylo, slab_yhi,
                      meta=meta, res=res, aa=aa,
                      corners=((0.5, resf - 0.5), (slab_ylo, slab_yhi)),
-                     ov_ref=ov_ref, ov_bounds=ov_bounds)
-    for ch in range(3):
-        # render.to_uint8 semantics: floor(clip(x,0,1)*255 + 0.5);
-        # Mosaic has no f32->u8 cast, so round-trip through int32
-        out_ref[ch] = jnp.floor(
-            jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5
-        ).astype(jnp.int32).astype(jnp.uint8)
+                     ov_ref=ov_ref, ov_bounds=ov_bounds,
+                     quant_out=out_ref)
 
 
 def _render_kernel_2d(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
@@ -449,12 +489,12 @@ def _render_kernel_2d(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
     rf = r.astype(jnp.float32)
     cf = c.astype(jnp.float32)
     pid = jax.lax.broadcasted_iota(
-        jnp.int32, (npix, env_tile), 0).astype(jnp.float32)
+        jnp.int32, (npix, 1), 0).astype(jnp.float32)
     rowf = rf * row_tile + jnp.floor(pid / jnp.float32(col_tile))
     colf = cf * col_tile + (pid - jnp.floor(pid / jnp.float32(col_tile))
                             * jnp.float32(col_tile))
-    px = colf + 0.5
-    py = resf - rowf - 0.5
+    px = jnp.broadcast_to(colf + 0.5, (npix, env_tile))
+    py = jnp.broadcast_to(resf - rowf - 0.5, (npix, env_tile))
 
     slab_ylo = resf - (rf * row_tile + (row_tile - 1)) - 0.5
     slab_yhi = resf - rf * row_tile - 0.5
@@ -469,7 +509,7 @@ def _render_kernel_2d(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
                      slab_xhi=slab_xhi)
     for ch in range(3):
         out_ref[ch] = jnp.floor(
-            jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5
+            jnp.clip(scratch[ch], 0.0, 255.0) + 0.5
         ).astype(jnp.int32).astype(jnp.uint8).reshape(
             row_tile, col_tile, env_tile)
 
@@ -497,11 +537,12 @@ def _render_kernel_hi(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
     t = pl.program_id(1)                        # output row index
     tf = t.astype(jnp.float32)
     pid = jax.lax.broadcasted_iota(
-        jnp.int32, (n_src, env_tile), 0).astype(jnp.float32)
+        jnp.int32, (n_src, 1), 0).astype(jnp.float32)
     rowf = jnp.floor(pid / srcf)                # 0..3 within the band
     colf = pid - rowf * srcf
-    px = colf + 0.5
-    py = srcf - (4.0 * tf + rowf) - 0.5
+    px = jnp.broadcast_to(colf + 0.5, (n_src, env_tile))
+    py = jnp.broadcast_to(srcf - (4.0 * tf + rowf) - 0.5,
+                          (n_src, env_tile))
 
     slab_ylo = srcf - (4.0 * tf + 3.0) - 0.5
     slab_yhi = srcf - 4.0 * tf - 0.5
@@ -512,7 +553,7 @@ def _render_kernel_hi(verts_ref, edges_ref, nv_ref, rad_ref, col_ref,
                      corners=((0.5, srcf - 0.5), (slab_ylo, slab_yhi)))
 
     for ch in range(3):
-        q = jnp.floor(jnp.clip(scratch[ch], 0.0, 1.0) * 255.0 + 0.5)
+        q = jnp.floor(jnp.clip(scratch[ch], 0.0, 255.0) + 0.5)
         rows = q.reshape(4, src, env_tile).sum(axis=0)     # (src, E)
         cells = rows.reshape(res, 4, env_tile).sum(axis=1)  # (res, E)
         out_ref[ch] = jnp.floor(cells * (1.0 / 16.0) + 0.5
@@ -608,7 +649,9 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
     nv_in = scal(display['nv'])
     rad_in = scal(rad_px)
     act_in = scal(display['active'])
-    col_in = jnp.moveaxis(display['color'], 0, -1)[:, :, None, :]
+    # kernels composite in the 0..255 domain (one fewer multiply in the
+    # quantise epilogue); alpha stays 0..1
+    col_in = jnp.moveaxis(display['color'], 0, -1)[:, :, None, :] * 255.0
 
     out = {}
     for view in views:
@@ -616,6 +659,12 @@ def render_batch_pallas(states, max_blocks, max_goals, robot_first,
         ys = sv[..., 1]                                      # (B, P, NV)
         ymin = ys.min(axis=2) - rad_px - margin[None, :]
         ymax = ys.max(axis=2) + rad_px + margin[None, :]
+        # inactive slots (empty goal/block slots) collapse to an empty
+        # bbox so the kernel's slab culling skips them entirely instead
+        # of computing an everywhere-zero alpha
+        inact = ~display['active']
+        ymin = jnp.where(inact, BIG, ymin)
+        ymax = jnp.where(inact, -BIG, ymax)
         ybb = jnp.stack([ymin, ymax], -1)                    # (B, P, 2)
         edges = _edge_coeffs(sv, display['nv'], rad_px)      # (B,P,NV,3)
         verts_in = jnp.moveaxis(sv, 0, -1)                   # (P,NV,2,B)
@@ -802,7 +851,9 @@ def render_into_slots_pallas(states, bufs, t, max_blocks, max_goals,
     nv_in = scal(display['nv'])
     rad_in = scal(rad_px)
     act_in = scal(display['active'])
-    col_in = jnp.moveaxis(display['color'], 0, -1)[:, :, None, :]
+    # kernels composite in the 0..255 domain (one fewer multiply in the
+    # quantise epilogue); alpha stays 0..1
+    col_in = jnp.moveaxis(display['color'], 0, -1)[:, :, None, :] * 255.0
 
     out = {}
     for view in spec.views:
@@ -810,6 +861,9 @@ def render_into_slots_pallas(states, bufs, t, max_blocks, max_goals,
         ys = sv[..., 1]
         ymin = ys.min(axis=2) - rad_px - margin[None, :]
         ymax = ys.max(axis=2) + rad_px + margin[None, :]
+        inact = ~display['active']
+        ymin = jnp.where(inact, BIG, ymin)
+        ymax = jnp.where(inact, -BIG, ymax)
         ybb = jnp.stack([ymin, ymax], -1)
         edges = _edge_coeffs(sv, display['nv'], rad_px)
         verts_in = jnp.moveaxis(sv, 0, -1)
