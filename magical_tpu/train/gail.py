@@ -35,11 +35,14 @@ class GAILTrainer:
                  policy_lr=3e-4, disc_lr=1e-4,
                  gamma=0.99, lam=0.95, clip_eps=0.2,
                  entropy_coef=1e-3, value_coef=0.5,
-                 rollout_len=40):
+                 rollout_len=40, policy_widths=None, disc_widths=None,
+                 disc_freeze_acc=0.9, disc_obs_only=False):
         self.env = env
+        net_kw = {'widths': tuple(policy_widths)} if policy_widths else {}
+        disc_kw = {'widths': tuple(disc_widths)} if disc_widths else {}
         self.policy = MagicalCNN(num_actions=num_actions,
-                                 with_value_head=True)
-        self.disc = Discriminator(num_actions=num_actions)
+                                 with_value_head=True, **net_kw)
+        self.disc = Discriminator(num_actions=num_actions, **disc_kw)
         self.policy_tx = optax.adam(policy_lr)
         self.disc_tx = optax.adam(disc_lr)
         self.gamma = gamma
@@ -48,6 +51,11 @@ class GAILTrainer:
         self.entropy_coef = entropy_coef
         self.value_coef = value_coef
         self.rollout_len = rollout_len
+        self.disc_freeze_acc = disc_freeze_acc
+        # obs-only discriminator (GAIfO): removes the match-the-action-
+        # marginal shortcut — reward comes only from REACHING expert-like
+        # observations, which is what a goal-directed task needs
+        self.disc_obs_only = disc_obs_only
         self.obs_shape = tuple(obs_shape)
         self._collect = jax.jit(self._collect_impl)
         self._ppo_update = jax.jit(self._ppo_update_impl)
@@ -63,6 +71,9 @@ class GAILTrainer:
                          disc_params=dp,
                          disc_opt=self.disc_tx.init(dp),
                          step=jnp.int32(0))
+
+    def _disc_act(self, act):
+        return jnp.zeros_like(act) if self.disc_obs_only else act
 
     # -- rollout collection -------------------------------------------------
 
@@ -88,7 +99,7 @@ class GAILTrainer:
         B = traj['act'].shape[1]
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         d_logit = self.disc.apply(state.disc_params, flat(traj['obs']),
-                                  flat(traj['act']))
+                                  self._disc_act(flat(traj['act'])))
         traj['reward'] = d_logit.reshape(self.rollout_len, B)
         # bootstrap value
         _, last_v = self.policy.apply(state.policy_params, obs)
@@ -112,12 +123,18 @@ class GAILTrainer:
         returns = advs + traj['value']
         return advs, returns
 
-    def _ppo_update_impl(self, state: GAILState, traj):
+    def _ppo_update_impl(self, state: GAILState, traj, idx=None):
         advs, returns = self._gae(traj)
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         obs, act = flat(traj['obs']), flat(traj['act'])
         old_logp, adv, ret = flat(traj['logp']), flat(advs), flat(returns)
+        if idx is not None:
+            # minibatch PPO epoch: gather the minibatch on device
+            # (advantage normalization above stays full-rollout)
+            obs, act, old_logp, adv, ret = (
+                jnp.take(x, idx, axis=0)
+                for x in (obs, act, old_logp, adv, ret))
 
         def loss_fn(params):
             logits, value = self.policy.apply(params, obs)
@@ -158,8 +175,10 @@ class GAILTrainer:
         exp_act = jnp.take(exp_act, idx_e, axis=0)
 
         def loss_fn(params):
-            pol_logit = self.disc.apply(params, pol_obs, pol_act)
-            exp_logit = self.disc.apply(params, exp_obs, exp_act)
+            pol_logit = self.disc.apply(params, pol_obs,
+                                        self._disc_act(pol_act))
+            exp_logit = self.disc.apply(params, exp_obs,
+                                        self._disc_act(exp_act))
             # expert -> 1, policy -> 0
             loss = (optax.sigmoid_binary_cross_entropy(
                         exp_logit, jnp.ones_like(exp_logit)).mean()
@@ -183,7 +202,8 @@ class GAILTrainer:
             return dp, dopt
 
         dp, dopt = jax.lax.cond(
-            acc > 0.9, lambda _: (state.disc_params, state.disc_opt),
+            acc > self.disc_freeze_acc,
+            lambda _: (state.disc_params, state.disc_opt),
             do_update, None)
         return state.replace(disc_params=dp, disc_opt=dopt), \
             {'disc_loss': loss, 'disc_acc': acc}

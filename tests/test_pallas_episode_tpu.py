@@ -95,13 +95,29 @@ def test_full_episode_divergence_bounded(task_name):
           f'{np.median(dpos):.4f} frac<0.05 {frac_agree:.3f}; '
           f'score mean|d| {dscore.mean():.4f} frac<0.1 '
           f'{(dscore < 0.1).mean():.3f}', flush=True)
-    # bounds calibrated to the r4 measurements (MatchRegions median
-    # 0.000 / frac 0.69 / score|d| 0.000; ClusterColour median 0.069 /
-    # frac 0.47 / score|d| 0.000) with ~50% headroom — a solver
-    # regression (wrong clamp, bias leak, manifold bug) blows these up
-    # by orders of magnitude, while contact chaos keeps this scale.
-    med_bound, frac_bound = {'MatchRegions': (0.02, 0.55),
-                             'ClusterColour': (0.12, 0.35)}[task_name]
+    # Bounds justified by the committed CHAOS-FLOOR CONTROL
+    # (tests/fixtures/chaos_floor.json, scripts/chaos_floor.py): the
+    # SAME XLA path run twice with a 1-ulp initial-position
+    # perturbation.  Measured control (MatchRegions): dpos mean 0.056,
+    # frac<0.05 = 0.69 — statistically indistinguishable from the
+    # Pallas-vs-XLA comparison (r4: mean 0.062, frac 0.69), i.e. the
+    # end-state spread IS sensitive dependence, not kernel error.  The
+    # gate grants the kernel the chaos floor's spread with modest
+    # headroom; a real solver regression (wrong clamp, bias leak,
+    # manifold bug) produces qualitatively larger divergence.
+    import json
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'fixtures', 'chaos_floor.json')
+    if not os.path.exists(floor_path):
+        pytest.skip('chaos floor control not generated yet '
+                    '(scripts/chaos_floor.py)')
+    with open(floor_path) as f:
+        floor = json.load(f)[task_name]
+    med_bound = max(2.0 * floor['dpos_median'] + 0.01, 0.02)
+    frac_bound = max(0.8 * floor['frac_within_0p05'], 0.30)
+    print(f'{task_name} chaos floor: median {floor["dpos_median"]:.4f} '
+          f'frac<0.05 {floor["frac_within_0p05"]:.3f} -> bounds '
+          f'med<{med_bound:.3f} frac>={frac_bound:.3f}', flush=True)
     assert np.median(dpos) < med_bound, np.median(dpos)
     assert frac_agree >= frac_bound, frac_agree
     assert dscore.mean() < 0.1, dscore.mean()

@@ -71,3 +71,25 @@ def test_scaling_smoke_fixed_batch_linearity():
     spec.loader.exec_module(mod)
     results = mod.scaling_smoke(8)   # asserts internally
     assert set(results) == {1, 2, 4, 8}
+
+
+@pytest.mark.slow
+def test_gail_iteration_over_mesh():
+    """One full GAIL iteration (collect + PPO + disc) with dp-sharded
+    envs at the real 96x96x12 obs shape, replicated params bitwise-
+    identical across devices afterwards (VERDICT r4 item 9).  Shares the
+    implementation with the driver dryrun.  Run under
+    MAGICAL_TPU_TEST_CPU=1 (8 virtual devices)."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs an 8-device mesh (MAGICAL_TPU_TEST_CPU=1)')
+    import importlib.util
+    import os
+    from jax.sharding import Mesh
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry', os.path.join(os.path.dirname(__file__), '..',
+                                    '__graft_entry__.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ('data', 'model'))
+    mod.gail_iteration_over_mesh(mesh, 8)   # asserts internally
