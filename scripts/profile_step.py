@@ -9,7 +9,7 @@ Times, at the headline config (MoveToCorner-Demo-LoRes4E, B=4096):
   - full step              (scan of _step_batched = headline bench body)
 Each timed across a host fetch.  Optionally sweeps batch and tile sizes.
 
-Usage: python scripts/profile_step.py [batch]
+Usage: python scripts/profile_step.py [batch] [env_name]
 """
 import os
 import sys
@@ -39,8 +39,9 @@ def timed(fn, arg, scan_len, reps, probe):
     return out, dt
 
 
-def main(batch=4096, scan_len=20, reps=4):
-    env = BatchedEnv('MoveToCorner-Demo-LoRes4E-v0')
+def main(batch=4096, scan_len=20, reps=4,
+         env_name='MoveToCorner-Demo-LoRes4E-v0'):
+    env = BatchedEnv(env_name)
     print(f'physics={env.physics} renderer={env.renderer} B={batch}',
           flush=True)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
@@ -134,4 +135,9 @@ def main(batch=4096, scan_len=20, reps=4):
 
 
 if __name__ == '__main__':
-    main(*(int(a) for a in sys.argv[1:2]))
+    kw = {}
+    if len(sys.argv) > 1:
+        kw['batch'] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kw['env_name'] = sys.argv[2]
+    main(**kw)

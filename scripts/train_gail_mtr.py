@@ -225,9 +225,41 @@ def main():
                       flush=True)
                 break
 
+    # Final evaluation block.  Demo resets are deterministic, so a
+    # greedy policy yields identical episodes across eval envs (the CI
+    # degenerates); the statistically meaningful rows are the STOCHASTIC
+    # policy on Demo and both policies on TestJitter (randomized
+    # resets), each with its own random baseline, per the reference
+    # protocol (evaluation.py:44-98 demo + test variants).
+    import flax.serialization
+    with open(os.path.join(REPO, 'gail_policy.msgpack'), 'wb') as f:
+        f.write(flax.serialization.to_bytes(
+            jax.device_get(state.policy_params)))
+    final = {}
+    for variant in ('Demo', 'TestJitter'):
+        e = env if variant == 'Demo' else BatchedEnv(
+            ENV.replace('-Demo-', f'-{variant}-'))
+        rs = eval_random(e, args.eval_envs,
+                         jax.random.PRNGKey(args.seed + 777))
+        vlo, vhi = tconfint_mean(rs)
+        final[f'{variant}_random'] = {
+            'mean': float(rs.mean()), 'ci': [vlo, vhi]}
+        for greedy in (True, False):
+            sc, dist = eval_policy(
+                e, trainer, state.policy_params, args.eval_envs,
+                jax.random.PRNGKey(args.seed + 30_000), greedy=greedy)
+            lo2, hi2 = tconfint_mean(sc)
+            tag = f'{variant}_{"greedy" if greedy else "stoch"}'
+            final[tag] = {'mean': float(sc.mean()), 'ci': [lo2, hi2],
+                          'final_dist': dist,
+                          'beats_random_95ci': bool(lo2 > vhi)}
+            print(f'final {tag}: {sc.mean():.3f} CI [{lo2:.3f},{hi2:.3f}]'
+                  f' vs random hi {vhi:.3f}', flush=True)
+
     beats_random = bool(best['lo'] > r_hi)
     result = {
         'env': ENV,
+        'final_eval': final,
         'config': vars(args) | {'out': os.path.basename(args.out)},
         'expert_score_mean': float(exp_scores.mean()),
         'random_baseline': {'mean': r_mean, 'ci': [r_lo, r_hi],
