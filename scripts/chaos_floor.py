@@ -95,9 +95,15 @@ def main():
         }
         out[name] = row
         print(name, json.dumps(row), flush=True)
-    with open(OUT, 'w') as f:
-        json.dump(out, f, indent=1)
-    print(f'wrote {OUT}')
+        # incremental: hours of CPU compile per task — keep what we have
+        if os.path.exists(OUT):
+            with open(OUT) as f:
+                prev = json.load(f)
+            prev.update(out)
+            out = dict(prev)
+        with open(OUT, 'w') as f:
+            json.dump(out, f, indent=1)
+        print(f'wrote {OUT} ({sorted(out)})', flush=True)
 
 
 if __name__ == '__main__':

@@ -112,7 +112,11 @@ def test_full_episode_divergence_bounded(task_name):
         pytest.skip('chaos floor control not generated yet '
                     '(scripts/chaos_floor.py)')
     with open(floor_path) as f:
-        floor = json.load(f)[task_name]
+        floors = json.load(f)
+    if task_name not in floors:
+        pytest.skip(f'chaos floor control for {task_name} not yet '
+                    'generated (scripts/chaos_floor.py)')
+    floor = floors[task_name]
     med_bound = max(2.0 * floor['dpos_median'] + 0.01, 0.02)
     frac_bound = max(0.8 * floor['frac_within_0p05'], 0.30)
     print(f'{task_name} chaos floor: median {floor["dpos_median"]:.4f} '
