@@ -75,6 +75,22 @@ def _run_episode(task, B, n_steps, path):
 
 @pytest.mark.parametrize('task_name', ['MatchRegions', 'ClusterColour'])
 def test_full_episode_divergence_bounded(task_name):
+    # consult the chaos-floor control FIRST: without it the bounds are
+    # unjustified, and the two episode legs below cost real compile
+    # time — skip before spending it
+    import json
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'fixtures', 'chaos_floor.json')
+    if not os.path.exists(floor_path):
+        pytest.skip('chaos floor control not generated yet '
+                    '(scripts/chaos_floor.py)')
+    with open(floor_path) as f:
+        floors = json.load(f)
+    if task_name not in floors:
+        pytest.skip(f'chaos floor control for {task_name} not yet '
+                    'generated (scripts/chaos_floor.py)')
+    floor = floors[task_name]
+
     task = ALL_TASKS[task_name]
     B = 64            # XLA fallback OOMs HBM at B=512 for these tables
     n_steps = task.ep_len
@@ -95,28 +111,15 @@ def test_full_episode_divergence_bounded(task_name):
           f'{np.median(dpos):.4f} frac<0.05 {frac_agree:.3f}; '
           f'score mean|d| {dscore.mean():.4f} frac<0.1 '
           f'{(dscore < 0.1).mean():.3f}', flush=True)
-    # Bounds justified by the committed CHAOS-FLOOR CONTROL
-    # (tests/fixtures/chaos_floor.json, scripts/chaos_floor.py): the
-    # SAME XLA path run twice with a 1-ulp initial-position
-    # perturbation.  Measured control (MatchRegions): dpos mean 0.056,
-    # frac<0.05 = 0.69 — statistically indistinguishable from the
-    # Pallas-vs-XLA comparison (r4: mean 0.062, frac 0.69), i.e. the
+    # Bounds justified by the committed CHAOS-FLOOR CONTROL (loaded at
+    # the top of the test): the SAME XLA path run twice with a 1-ulp
+    # initial-position perturbation.  Measured control (MatchRegions):
+    # dpos mean 0.056, frac<0.05 = 0.692 — and the TPU gate measured
+    # the Pallas-vs-XLA comparison at mean 0.062, frac 0.692: the
     # end-state spread IS sensitive dependence, not kernel error.  The
     # gate grants the kernel the chaos floor's spread with modest
     # headroom; a real solver regression (wrong clamp, bias leak,
     # manifold bug) produces qualitatively larger divergence.
-    import json
-    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              'fixtures', 'chaos_floor.json')
-    if not os.path.exists(floor_path):
-        pytest.skip('chaos floor control not generated yet '
-                    '(scripts/chaos_floor.py)')
-    with open(floor_path) as f:
-        floors = json.load(f)
-    if task_name not in floors:
-        pytest.skip(f'chaos floor control for {task_name} not yet '
-                    'generated (scripts/chaos_floor.py)')
-    floor = floors[task_name]
     med_bound = max(2.0 * floor['dpos_median'] + 0.01, 0.02)
     frac_bound = max(0.8 * floor['frac_within_0p05'], 0.30)
     print(f'{task_name} chaos floor: median {floor["dpos_median"]:.4f} '
